@@ -1,0 +1,197 @@
+"""Douglas-Peucker simplification + multi-zoom simplify masks.
+
+Reference semantics (include/geo/simplify_mask.h):
+- ``sq_perpendicular_dist`` (:25-54): squared perpendicular distance of a test
+  point to the clamped projection onto [source, target]; computed in doubles
+  and truncated to an integer (the C++ function returns uint64) — we mirror
+  with ``floor``.
+- ``process_level`` (:59-108): iterative-stack DP refinement of a keep-mask;
+  the farthest-point pick keeps the FIRST index attaining the maximum.
+- ``make_simplify_mask`` (:112-158): project to z20 pixels via
+  ``webmercator<4096, 20>``, then 21 levels with threshold
+  ``(pixel_precision << (20 - z))^2``; early-exit fills remaining levels.
+- ``serialize_simplify_mask`` (:179-218) / ``simplify_mask_reader`` (:220-255):
+  bit-packed little-endian stream; adjacent identical levels stored once, the
+  ``lvls`` uint32 bitfield marks which levels are stored.
+- ``simplify`` (:272-290): single-level DP on integer pixel coords.
+- degree-space ``simplify(polyline, max_distance)`` (src/polyline.cc:16-20)
+  delegates to boost::geometry::simplify upstream (untested there); here it is
+  the same clamped-projection DP run on raw degree coordinates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geo_ray.kernels.mercator import latlng_to_merc, merc_to_pixel
+
+MAX_SIMPLIFY_ZOOM = 20
+SIMPLIFY_ZOOM_LEVELS = MAX_SIMPLIFY_ZOOM + 1
+
+
+def sq_perpendicular_dist(sx, sy, tx, ty, px, py):
+    """Vectorized squared distance of points (px, py) to clamped projection on
+    segment (sx, sy)->(tx, ty). Returns float64 (caller floors for the
+    reference's uint64 truncation)."""
+    slope_x = ty - sy  # the reference swaps x/y consistently; dot products match
+    slope_y = tx - sx
+    rel_x = py - sy
+    rel_y = px - sx
+    unnormed = slope_x * rel_x + slope_y * rel_y
+    sq_len = slope_x * slope_x + slope_y * slope_y
+    if sq_len < np.finfo(np.float64).eps:
+        proj_x = sx
+        proj_y = sy
+    else:
+        ratio = np.clip(unnormed / sq_len, 0.0, 1.0)
+        proj_x = (1.0 - ratio) * sx + tx * ratio
+        proj_y = (1.0 - ratio) * sy + ty * ratio
+    dx = proj_x - px
+    dy = proj_y - py
+    return dx * dx + dy * dy
+
+
+def process_level(x, y, threshold: float, mask: np.ndarray) -> bool:
+    """One DP refinement pass; mutates ``mask`` in place. Returns True when the
+    mask already kept every vertex (no gaps)."""
+    kept = np.flatnonzero(mask)
+    stack = [
+        (int(kept[i]), int(kept[i + 1]))
+        for i in range(kept.size - 1)
+        if kept[i + 1] - kept[i] > 1
+    ]
+    if not stack:
+        return True
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo <= 1:
+            continue
+        seg = slice(lo + 1, hi)
+        d = np.floor(
+            sq_perpendicular_dist(
+                float(x[lo]), float(y[lo]), float(x[hi]), float(y[hi]), x[seg], y[seg]
+            )
+        )
+        best = int(np.argmax(d))  # first index attaining the max
+        if d[best] >= threshold:
+            far = lo + 1 + best
+            mask[far] = True
+            stack.append((lo, far))
+            stack.append((far, hi))
+    return False
+
+
+def pixels_z20(lat, lng):
+    """Project degree coordinates to z20 pixel ints (webmercator<4096, 20>)."""
+    mx, my = latlng_to_merc(lat, lng)
+    px, py = merc_to_pixel(mx, my, MAX_SIMPLIFY_ZOOM, tile_size=4096)
+    return px.astype(np.float64), py.astype(np.float64)
+
+
+def make_simplify_mask_pixels(x, y, pixel_precision: int = 1):
+    """21 keep-masks (z0..z20) for one already-projected integer pixel line."""
+    n = x.size
+    mask = np.zeros(n, dtype=bool)
+    mask[0] = True
+    mask[-1] = True
+    result = []
+    for z in range(SIMPLIFY_ZOOM_LEVELS):
+        delta = np.uint64(pixel_precision) << np.uint64(MAX_SIMPLIFY_ZOOM - z)
+        threshold = float(delta) * float(delta)
+        done = process_level(x, y, threshold, mask)
+        if done:
+            result.extend(mask.copy() for _ in range(z, SIMPLIFY_ZOOM_LEVELS))
+            break
+        result.append(mask.copy())
+    assert len(result) == SIMPLIFY_ZOOM_LEVELS
+    return result
+
+
+def make_simplify_mask(lat, lng, pixel_precision: int = 1):
+    """21 keep-masks for one degree-space polyline (projected to z20 pixels)."""
+    px, py = pixels_z20(np.asarray(lat, dtype=np.float64), np.asarray(lng, dtype=np.float64))
+    return make_simplify_mask_pixels(px, py, pixel_precision)
+
+
+def apply_simplify_mask(mask, *arrays):
+    """Compact arrays keeping masked vertices (first vertex always kept)."""
+    mask = np.asarray(mask, dtype=bool)
+    if mask.size:
+        assert mask[0]
+    return tuple(np.asarray(a)[mask] for a in arrays)
+
+
+def serialize_simplify_mask(masks) -> bytes:
+    """Byte-exact reference serialization (simplify_mask.h:179-218)."""
+    lvls = 0
+    size = int(np.asarray(masks[0]).size)
+    stored = []
+    for i, m in enumerate(masks):
+        if i + 1 < len(masks) and np.array_equal(masks[i], masks[i + 1]):
+            continue
+        lvls |= 1 << i
+        stored.append(np.asarray(m, dtype=np.uint8))
+    bits = np.concatenate(stored) if stored else np.zeros(0, dtype=np.uint8)
+    packed = np.packbits(bits, bitorder="little").tobytes()
+    return (
+        np.uint32(lvls).tobytes() + np.uint32(size).tobytes() + packed
+    )
+
+
+def read_simplify_mask(data: bytes, req_lvl: int) -> np.ndarray:
+    """Extract the keep-mask for ``req_lvl`` from serialized bytes."""
+    assert 0 <= req_lvl <= MAX_SIMPLIFY_ZOOM
+    lvls = int(np.frombuffer(data[:4], dtype=np.uint32)[0])
+    size = int(np.frombuffer(data[4:8], dtype=np.uint32)[0])
+    assert lvls != 0
+    skipped = bin(lvls & ((1 << req_lvl) - 1)).count("1")
+    bits = np.unpackbits(np.frombuffer(data[8:], dtype=np.uint8), bitorder="little")
+    off = skipped * size
+    return bits[off : off + size].astype(bool)
+
+
+def simplify_pixels(x, y, pixel_precision: int = 1):
+    """Single-level DP on integer pixel coords (simplify_mask.h:272-290)."""
+    if x.size == 0:
+        raise ValueError("simplify: empty polyline")
+    mask = np.zeros(x.size, dtype=bool)
+    mask[0] = True
+    mask[-1] = True
+    process_level(
+        np.asarray(x, dtype=np.float64),
+        np.asarray(y, dtype=np.float64),
+        float(pixel_precision) * float(pixel_precision),
+        mask,
+    )
+    return mask
+
+
+def simplify_degrees(lat, lng, max_distance: float):
+    """Degree-space DP (clamped-projection variant of src/polyline.cc:16-20).
+
+    ``max_distance`` is a tolerance in degrees; returns (lat, lng) kept arrays.
+    """
+    lat = np.asarray(lat, dtype=np.float64)
+    lng = np.asarray(lng, dtype=np.float64)
+    if lat.size == 0:
+        return lat, lng
+    mask = np.zeros(lat.size, dtype=bool)
+    mask[0] = True
+    mask[-1] = True
+    # process_level floors distances (integer-pixel semantics); degree-space
+    # tolerances are fractional, so run the same DP without the floor.
+    stack = [(0, lat.size - 1)] if lat.size > 2 else []
+    thr = max_distance * max_distance
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo <= 1:
+            continue
+        seg = slice(lo + 1, hi)
+        d = sq_perpendicular_dist(lat[lo], lng[lo], lat[hi], lng[hi], lat[seg], lng[seg])
+        best = int(np.argmax(d))
+        if d[best] >= thr:
+            far = lo + 1 + best
+            mask[far] = True
+            stack.append((lo, far))
+            stack.append((far, hi))
+    return lat[mask], lng[mask]

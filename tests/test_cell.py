@@ -1,0 +1,65 @@
+"""Conformance: tile_hash_32 cell index vs a literal scalar re-derivation of
+src/latlng.cc:75-96 (untested upstream; the scalar oracle follows the C++
+statement by statement)."""
+
+import numpy as np
+
+from geo_ray.kernels import cell as C
+from geo_ray.kernels import mercator as M
+
+
+def scalar_tile_hash_32(lat: float, lng: float) -> int:
+    """Direct transliteration of the reference loop (oracle for the vector kernel)."""
+    mx, my = M.latlng_to_merc(lat, lng)
+    x = int(M.merc_to_pixel_x(mx, 16, tile_size=1))
+    y = int(M.merc_to_pixel_y(my, 16, tile_size=1))
+    z = 16
+    h = 0
+    for offset in range(0, 32, 2):
+        quad = ((y % 2) << 1) | (x % 2)
+        h |= quad << offset
+        x >>= 1
+        y >>= 1
+        z -= 1
+    assert z == 0
+    return h & 0xFFFFFFFF
+
+
+def test_hash_matches_scalar_oracle():
+    rng = np.random.default_rng(11)
+    lat = rng.uniform(-85, 85, 500)
+    lng = rng.uniform(-180, 180, 500)
+    h = C.tile_hash_32(lat, lng)
+    for i in range(0, 500, 13):
+        assert int(h[i]) == scalar_tile_hash_32(lat[i], lng[i])
+
+
+def test_prefix_is_spatial():
+    # nearby points share coarse prefixes; antipodal points do not
+    h1 = C.tile_hash_32(np.array([49.8726]), np.array([8.6310]))
+    h2 = C.tile_hash_32(np.array([49.8728]), np.array([8.6312]))
+    h3 = C.tile_hash_32(np.array([-49.87]), np.array([-171.37]))
+    assert C.cell_prefix(h1, 10) == C.cell_prefix(h2, 10)
+    assert C.cell_prefix(h1, 2) != C.cell_prefix(h3, 2)
+
+
+def test_cell_at_zoom_consistent_with_prefix():
+    rng = np.random.default_rng(12)
+    lat = rng.uniform(-80, 80, 200)
+    lng = rng.uniform(-180, 180, 200)
+    x, y = C.cell_at_zoom(lat, lng, 8)
+    h = C.tile_hash_32(lat, lng)
+    p = C.cell_prefix(h, 8)
+    # prefix is the morton interleave of the zoom-8 cell coords
+    expect = C.hash_from_xy(x, y) & np.uint32(0xFFFF)
+    assert (p == expect).all()
+
+
+def test_neighbor_cells_ring():
+    row, nx, ny = C.neighbor_cells(np.array([5]), np.array([5]), zoom=4, ring=1)
+    assert row.size == 9
+    assert sorted(zip(nx.tolist(), ny.tolist()))[0] == (4, 4)
+    # clipped at the world edge
+    row, nx, ny = C.neighbor_cells(np.array([0]), np.array([0]), zoom=4, ring=1)
+    assert row.size == 4
+    assert (nx >= 0).all() and (ny >= 0).all()

@@ -1,0 +1,124 @@
+"""Conformance: simplify masks vs /root/reference/test/simplify_mask_test.cc."""
+
+import numpy as np
+
+from geo_ray.kernels import mercator as M
+from geo_ray.kernels import simplify as S
+
+
+def px2ll(x, y, z):
+    return M.merc_to_latlng(M.pixel_to_merc_x(x, z, 4096), M.pixel_to_merc_y(y, z, 4096))
+
+
+def line_from_pixels(pts, z):
+    lat = []
+    lng = []
+    for x, y in pts:
+        a, b = px2ll(x, y, z)
+        lat.append(float(a))
+        lng.append(float(b))
+    return np.array(lat), np.array(lng)
+
+
+def test_all_required():
+    lat, lng = line_from_pixels([(0, 0), (50, 0), (100, 0)], 0)
+    out = S.make_simplify_mask(lat, lng)
+    assert len(out) == 21
+    assert out[0].tolist() == [True, False, True]
+
+
+def test_slight_deviation():
+    lat, lng = line_from_pixels([(0, 0), (50, 1), (100, 0)], 0)
+    out = S.make_simplify_mask(lat, lng)
+    assert out[0].tolist() == [True, True, True]
+    out2 = S.make_simplify_mask(lat, lng, pixel_precision=2)
+    assert out2[0].tolist() == [True, False, True]
+
+
+def test_recursion():
+    lat, lng = line_from_pixels([(0, 0), (50, 1), (100, 0), (100, 100)], 0)
+    out = S.make_simplify_mask(lat, lng, pixel_precision=2)
+    assert len(out) == 21
+    assert out[0].tolist() == [True, False, True, True]
+    for z in range(1, 21):
+        assert out[z].tolist() == [True, True, True, True]
+
+
+def test_mid_level():
+    lat, lng = line_from_pixels([(20, 0), (21, 25), (20, 50)], 10)
+    out = S.make_simplify_mask(lat, lng)
+    for z in range(0, 11):
+        assert out[z].tolist() == [True, False, True], f"z={z}"
+    for z in range(11, 21):
+        assert out[z].tolist() == [True, True, True], f"z={z}"
+
+
+def test_apply_mask():
+    vec = np.array([0, 1, 2, 3])
+    assert S.apply_simplify_mask([True, True, True, True], vec)[0].tolist() == [0, 1, 2, 3]
+    assert S.apply_simplify_mask([True, False, False, True], vec)[0].tolist() == [0, 3]
+    assert S.apply_simplify_mask([True, False, True, True], vec)[0].tolist() == [0, 2, 3]
+    v7 = np.arange(7)
+    assert S.apply_simplify_mask([True, False, False, False, False, True, True], v7)[0].tolist() == [0, 5, 6]
+    assert S.apply_simplify_mask([True, False, True, True, False, False, True], v7)[0].tolist() == [0, 2, 3, 6]
+
+
+def test_serialize_simple():
+    data = S.serialize_simplify_mask([np.array([True, True])])
+    assert len(data) == 9
+    assert int(np.frombuffer(data[:4], np.uint32)[0]) == 0x1
+    assert int(np.frombuffer(data[4:8], np.uint32)[0]) == 0x2
+    assert data[8] == 0x3
+
+
+def test_serialize_skip_identical():
+    data = S.serialize_simplify_mask([np.array([True, True]), np.array([True, True])])
+    assert len(data) == 9
+    assert int(np.frombuffer(data[:4], np.uint32)[0]) == 0x2
+    assert int(np.frombuffer(data[4:8], np.uint32)[0]) == 0x2
+    assert data[8] == 0x3
+
+
+def test_serialize_multibyte():
+    m = np.array([True] * 8 + [False, True])
+    data = S.serialize_simplify_mask([m])
+    assert len(data) == 10
+    assert int(np.frombuffer(data[:4], np.uint32)[0]) == 0x1
+    assert int(np.frombuffer(data[4:8], np.uint32)[0]) == 10
+    assert data[8] == 0xFF
+    assert data[9] == 0x02
+
+
+def test_serialize_apply():
+    mask = [np.array([True, False, True])]
+    data = S.serialize_simplify_mask(mask)
+    got = S.read_simplify_mask(data, 0)
+    vec = np.array([1, 2, 3])
+    assert vec[got].tolist() == [1, 3]
+
+
+def test_serialize_apply_complex():
+    m0 = np.array([True, False, False, False, False, False, True, False, False, True])
+    m1 = np.array([True, False, True, True, False, False, True, False, False, True])
+    data = S.serialize_simplify_mask([m0, m1, m1])
+    assert len(data) == 11
+    vec = np.arange(10)
+    assert vec[S.read_simplify_mask(data, 0)].tolist() == [0, 6, 9]
+    assert vec[S.read_simplify_mask(data, 1)].tolist() == [0, 2, 3, 6, 9]
+    assert vec[S.read_simplify_mask(data, 2)].tolist() == [0, 2, 3, 6, 9]
+
+
+def test_simplify_pixels_single_level():
+    x = np.array([0.0, 50.0, 100.0])
+    y = np.array([0.0, 1.0, 0.0])
+    assert S.simplify_pixels(x, y, 1).tolist() == [True, True, True]
+    assert S.simplify_pixels(x, y, 2).tolist() == [True, False, True]
+
+
+def test_simplify_degrees():
+    lat = np.array([0.0, 0.001, 0.0, 1.0])
+    lng = np.array([0.0, 0.5, 1.0, 1.0])
+    slat, slng = S.simplify_degrees(lat, lng, 0.01)
+    assert slat.tolist() == [0.0, 0.0, 1.0]
+    slat2, _ = S.simplify_degrees(lat, lng, 1e-9)
+    assert slat2.size == 4
