@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing here
+(or in geo_ray) calls ``ray.init`` / ``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry``      — flagship PIP-join + tiling pipeline over sf0.001.
+- ``queries``    — one callable per implemented operator/pipeline
+  (SURVEY.md §2 inventory + training-data-pipeline ops).
+- ``oracle_sql`` — DuckDB twins for every SQL-expressible query; geometry
+  inputs are derived bit-identically in NumPy and SQL (geo_ray.sources.derive),
+  transcendental outputs rounded identically on both sides.
 """
 
 from __future__ import annotations
@@ -20,25 +18,86 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (rows >= 0, stable schema)."""
+    from geo_ray.pipelines import queries as Q
+
+    return Q.q_flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from geo_ray.pipelines import queries as Q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # geometry / spatial (SURVEY.md §2.1-2.5)
+        "derived_points": Q.q_derived_points,
+        "point_distance": Q.q_point_distance,
+        "point_bearing": Q.q_point_bearing,
+        "destination_points": Q.q_destination_points,
+        "midpoints": Q.q_midpoints,
+        "xyz_chord": Q.q_xyz_chord,
+        "box_contains": Q.q_box_contains,
+        "box_envelope": Q.q_box_envelope,
+        "merc_points": Q.q_merc_points,
+        "tile_assign": Q.q_tile_assign,
+        "tile_counts": Q.q_tile_counts,
+        "cell_ids": Q.q_cell_ids,
+        "pip_join": Q.q_pip_join,
+        "knn_cities": Q.q_knn_cities,
+        "radius_cities": Q.q_radius_cities,
+        "polyline_lengths": Q.q_polyline_lengths,
+        "lineitem_cells": Q.q_lineitem_cells,
+        "flagship": Q.q_flagship,
+        "spans_shape": Q.q_spans_shape,
+        # rows-only geo ops (non-SQL-expressible; pytest-conformance covered)
+        "polyline_encode": Q.q_polyline_encode,
+        "simplify_masks": Q.q_simplify_masks,
+        "cluster_city": Q.q_cluster_city,
+        # training-data pipeline ops
+        "token_counts": Q.q_token_counts,
+        "quality_scores": Q.q_quality_scores,
+        "stopword_hits": Q.q_stopword_hits,
+        "lang_id": Q.q_lang_id,
+        "exact_dedup": Q.q_exact_dedup,
+        "fingerprints": Q.q_fingerprints,
+        "minhash_pairs": Q.q_minhash_pairs,
+        "simhash": Q.q_simhash,
+        "ngram_dup_groups": Q.q_ngram_dup_groups,
+        "ann_topk": Q.q_ann_topk,
+        "ivf_counts": Q.q_ivf_counts,
+        "event_hourly": Q.q_event_hourly,
+        "event_sessions": Q.q_event_sessions,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from geo_ray.pipelines import queries as Q
+
+    return {
+        "derived_points": Q.SQL_DERIVED_POINTS,
+        "point_distance": Q.SQL_POINT_DISTANCE,
+        "point_bearing": Q.SQL_POINT_BEARING,
+        "destination_points": Q.SQL_DESTINATION_POINTS,
+        "midpoints": Q.SQL_MIDPOINTS,
+        "xyz_chord": Q.SQL_XYZ_CHORD,
+        "box_contains": Q.SQL_BOX_CONTAINS,
+        "box_envelope": Q.SQL_BOX_ENVELOPE,
+        "merc_points": Q.SQL_MERC_POINTS,
+        "tile_assign": Q.SQL_TILE_ASSIGN,
+        "tile_counts": Q.SQL_TILE_COUNTS,
+        "cell_ids": Q.SQL_CELL_IDS,
+        "pip_join": Q.SQL_PIP_JOIN,
+        "knn_cities": Q.SQL_KNN_CITIES,
+        "radius_cities": Q.SQL_RADIUS_CITIES,
+        "polyline_lengths": Q.SQL_POLYLINE_LENGTHS,
+        "lineitem_cells": Q.SQL_LINEITEM_CELLS,
+        "flagship": Q.SQL_FLAGSHIP,
+        "spans_shape": Q.SQL_SPANS_SHAPE,
+        "token_counts": Q.SQL_TOKEN_COUNTS,
+        "quality_scores": Q.SQL_QUALITY_SCORES,
+        "stopword_hits": Q.SQL_STOPWORD_HITS,
+        "lang_id": Q.SQL_LANG_ID,
+        "exact_dedup": Q.SQL_EXACT_DEDUP,
+        "ann_topk": Q.SQL_ANN_TOPK,
+        "event_hourly": Q.SQL_EVENT_HOURLY,
+        "event_sessions": Q.SQL_EVENT_SESSIONS,
+    }

@@ -1,0 +1,154 @@
+"""Headline benchmark for the geo_ray engine.
+
+Runs the flagship PIP-join + tile-assignment pipeline plus representative
+operator pipelines over ``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and
+prints ONE JSON line::
+
+    {"metric": ..., "value": total_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "flagship_docs": D, "docs_per_sec": D/t_flagship}
+
+``--scaling`` runs the flagship pipeline twice in FRESH processes
+(num_cpus = N and 4N on the same input; default N=8) and reports throughput
+at both plus efficiency = (rate_4N / rate_N) / 4 — the sandbox stand-in for
+the north rule's two-cluster-size criterion (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+# Amplification factor for the flagship scaling/throughput runs: 5k docs at
+# sf0.1 is too small to saturate 32 cpus, so deterministically replicate
+# (distinct doc_ids -> distinct derived geometry; see spans.replicate_docs).
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "64"))
+
+
+def _consume(result) -> int:
+    """Exhaust a Dataset (or small DataFrame/Table) and return its row count."""
+    if hasattr(result, "count") and hasattr(result, "iter_batches"):
+        return result.count()
+    return len(result)
+
+
+def _flagship_ds(sf_dir: str):
+    from geo_ray.pipelines import flagship as fl
+
+    return fl.flagship(sf_dir, replicate=REPLICATE, use_actors=True).select_columns(
+        ["doc_id", "pt_idx", "area_id", "tile_x", "tile_y"]
+    )
+
+
+def bench_queries(sf_dir: str):
+    """name -> zero-arg callable returning a consumable result."""
+    from geo_ray.pipelines import queries as Q
+
+    return {
+        "flagship_pip_tile": lambda: _flagship_ds(sf_dir),
+        "lineitem_cells": lambda: Q.q_lineitem_cells(sf_dir),
+        "knn_cities": lambda: Q.q_knn_cities(sf_dir),
+        "tile_counts": lambda: Q.q_tile_counts(sf_dir),
+        "simplify_masks": lambda: Q.q_simplify_masks(sf_dir),
+        "polyline_encode": lambda: Q.q_polyline_encode(sf_dir),
+        "cluster_city": lambda: Q.q_cluster_city(sf_dir),
+        "token_counts": lambda: Q.q_token_counts(sf_dir),
+        "minhash_pairs": lambda: Q.q_minhash_pairs(sf_dir),
+        "ann_topk": lambda: Q.q_ann_topk(sf_dir),
+        "event_sessions": lambda: Q.q_event_sessions(sf_dir),
+    }
+
+
+def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    queries = bench_queries(sf_dir)
+    if flagship_only:
+        queries = {"flagship_pip_tile": queries["flagship_pip_tile"]}
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in queries.items():
+        t0 = time.perf_counter()
+        rows[name] = _consume(fn())
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows * REPLICATE
+    t_flag = timings["flagship_pip_tile"]
+    out = {
+        "metric": "wall seconds, flagship PIP-join+tile pipeline + 10 operator pipelines (sf parquet)",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "flagship_docs": n_docs,
+        "docs_per_sec": round(n_docs / t_flag, 1) if t_flag else None,
+        "rows": rows,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling(sf_dir: str, n: int) -> dict:
+    """Fresh-process flagship runs at n and 4n CPUs; report scaling efficiency."""
+    results = {}
+    for cpus in (n, 4 * n):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cpus", str(cpus), "--flagship-only"],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "GRAFT_SF_DIR": sf_dir},
+            check=True,
+        )
+        results[cpus] = json.loads(proc.stdout.strip().splitlines()[-1])
+    r_n = results[n]["docs_per_sec"]
+    r_4n = results[4 * n]["docs_per_sec"]
+    return {
+        "metric": "flagship docs/sec at N vs 4N CPUs (fresh processes, same input)",
+        "value": round(results[4 * n]["queries"]["flagship_pip_tile"], 3),
+        "unit": "sec",
+        "queries": {
+            f"flagship_cpus_{n}": results[n]["queries"]["flagship_pip_tile"],
+            f"flagship_cpus_{4 * n}": results[4 * n]["queries"]["flagship_pip_tile"],
+        },
+        "sf": sf_dir,
+        "num_cpus": 4 * n,
+        "docs_per_sec_n": r_n,
+        "docs_per_sec_4n": r_4n,
+        "scaling_efficiency": round((r_4n / r_n) / 4.0, 3),
+    }
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    num_cpus = NUM_CPUS
+    if "--cpus" in args:
+        num_cpus = int(args[args.index("--cpus") + 1])
+    if "--scaling" in args:
+        print(json.dumps(run_scaling(SF_DIR, n=max(1, num_cpus // 4))))
+    else:
+        print(json.dumps(run_bench(SF_DIR, num_cpus, flagship_only="--flagship-only" in args)))
+
+
+if __name__ == "__main__":
+    main()

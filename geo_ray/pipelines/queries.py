@@ -1,0 +1,957 @@
+"""Driver-facing query catalog: Ray Data pipelines + DuckDB oracle SQL twins.
+
+Every entry here becomes ``__ray_entry__.queries()[name]`` (a callable taking
+``sf_dir`` and returning a Dataset / pyarrow Table) and, where the operator is
+SQL-expressible, ``oracle_sql()[name]`` (ANSI SQL over the same parquet views).
+
+Parity strategy: geocoded inputs are DERIVED from doc ids by exact int64 +
+IEEE-double arithmetic (geo_ray.sources.derive) identically in NumPy and SQL,
+so inputs match bit-for-bit; transcendental outputs (distances, projections)
+are rounded (3-6 dp) on BOTH sides so 1-ulp libm differences cannot flip the
+driver's value hash. Integer outputs (tiles, cells, counts) are exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from geo_ray.constants import APPROX_DISTANCE_LAT_DEGREES, EPSILON
+from geo_ray.kernels import bearing as bearing_k
+from geo_ray.kernels import cell as cell_k
+from geo_ray.kernels import distance as dist_k
+from geo_ray.kernels import mercator as merc_k
+from geo_ray.kernels import polyline as poly_k
+from geo_ray.kernels import segment as seg_k
+from geo_ray.sources import derive
+
+FRANKFURT = (50.1109, 8.6821)
+
+# ---------------------------------------------------------------------------
+# SQL fragment builders
+# ---------------------------------------------------------------------------
+
+POINTS_CTE = f"WITH points AS (\n{derive.points_sql()}\n)"
+
+
+def sql_haversine(alat, alng, blat, blng) -> str:
+    return (
+        f"2.0 * 6371000.0 * ASIN(LEAST(1.0, SQRT("
+        f"POWER(SIN((RADIANS({blat}) - RADIANS({alat})) / 2), 2) + "
+        f"COS(RADIANS({alat})) * COS(RADIANS({blat})) * "
+        f"POWER(SIN((RADIANS({blng}) - RADIANS({alng})) / 2), 2))))"
+    )
+
+
+def sql_merc_x(lng) -> str:
+    return f"6378137.0 * RADIANS({lng})"
+
+
+def sql_merc_y(lat) -> str:
+    clamped = f"LEAST(GREATEST({lat}, -85.0511287798), 85.0511287798)"
+    return f"6378137.0 * LN((1.0 + SIN(RADIANS({clamped}))) / (1.0 - SIN(RADIANS({clamped})))) / 2.0"
+
+
+def sql_pixel_x(lng, z: int, tile_size: int) -> str:
+    shift = repr(float(merc_k.MERC_ORIGIN_SHIFT))
+    res = repr(float(merc_k.resolution(z, tile_size)))
+    return f"CAST(TRUNC(({sql_merc_x(lng)} + {shift}) / {res}) AS BIGINT)"
+
+
+def sql_pixel_y(lat, z: int, tile_size: int) -> str:
+    shift = repr(float(merc_k.MERC_ORIGIN_SHIFT))
+    res = repr(float(merc_k.resolution(z, tile_size)))
+    map_px = int(merc_k.map_size(z, tile_size))
+    return (
+        f"CAST(FLOOR({map_px}.0 - (({sql_merc_y(lat)} + {shift}) / {res}) + 0.5) AS BIGINT)"
+    )
+
+
+def sql_morton(x_col: str, y_col: str, bits: int = 16) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x_col} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({y_col} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    return "(" + " + ".join(terms) + ")"
+
+
+CITY_VALUES = ", ".join(
+    f"({k}, CAST({lat!r} AS DOUBLE), CAST({lng!r} AS DOUBLE))"
+    for k, (lat, lng) in enumerate(derive.CITIES)
+)
+CITIES_REL = f"(VALUES {CITY_VALUES}) AS q(query_id, qlat, qlng)"
+
+# ---------------------------------------------------------------------------
+# shared Ray helpers
+# ---------------------------------------------------------------------------
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def points_ds(sf_dir: str):
+    """documents -> derived point rows (doc_id, pt_idx, lat, lng)."""
+    from geo_ray.stages import spans as spans_st
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(spans_st.explode_points, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _round_cols(batch: pa.Table, spec: dict) -> pa.Table:
+    for col, nd in spec.items():
+        i = batch.schema.get_field_index(col)
+        batch = batch.set_column(i, col, pa.array(np.round(batch[col].to_numpy(), nd)))
+    return batch
+
+
+def _append(batch: pa.Table, **cols) -> pa.Table:
+    for name, arr in cols.items():
+        batch = batch.append_column(name, pa.array(arr))
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# geo queries (Ray impl + oracle twins)
+# ---------------------------------------------------------------------------
+
+
+def q_derived_points(sf_dir: str):
+    return points_ds(sf_dir)
+
+
+SQL_DERIVED_POINTS = f"{POINTS_CTE} SELECT doc_id, pt_idx, lat, lng FROM points"
+
+
+def q_point_distance(sf_dir: str):
+    def stage(b: pa.Table) -> pa.Table:
+        lat = b["lat"].to_numpy()
+        lng = b["lng"].to_numpy()
+        d = dist_k.haversine(lat, lng, FRANKFURT[0], FRANKFURT[1])
+        return pa.table(
+            {"doc_id": b["doc_id"], "pt_idx": b["pt_idx"], "dist_m": pa.array(np.round(d, 3))}
+        )
+
+    return points_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_POINT_DISTANCE = (
+    f"{POINTS_CTE} SELECT doc_id, pt_idx, "
+    f"ROUND({sql_haversine('lat', 'lng', FRANKFURT[0], FRANKFURT[1])}, 3) AS dist_m FROM points"
+)
+
+
+def q_point_bearing(sf_dir: str):
+    def stage(b: pa.Table) -> pa.Table:
+        brg = bearing_k.bearing(b["lat"].to_numpy(), b["lng"].to_numpy(), *FRANKFURT)
+        return pa.table(
+            {"doc_id": b["doc_id"], "pt_idx": b["pt_idx"], "bearing_deg": pa.array(np.round(brg, 6))}
+        )
+
+    return points_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_POINT_BEARING = f"""{POINTS_CTE}
+SELECT doc_id, pt_idx,
+  ROUND(DEGREES(FMOD(ATAN2(
+    SIN(RADIANS({FRANKFURT[1]}) - RADIANS(lng)) * COS(RADIANS({FRANKFURT[0]})),
+    COS(RADIANS(lat)) * SIN(RADIANS({FRANKFURT[0]}))
+      - SIN(RADIANS(lat)) * COS(RADIANS({FRANKFURT[0]})) * COS(RADIANS({FRANKFURT[1]}) - RADIANS(lng))
+  ) + 2 * PI(), 2 * PI())), 6) AS bearing_deg
+FROM points"""
+
+
+def q_destination_points(sf_dir: str):
+    def stage(b: pa.Table) -> pa.Table:
+        lat = b["lat"].to_numpy()
+        lng = b["lng"].to_numpy()
+        doc = b["doc_id"].to_numpy()
+        pt = b["pt_idx"].to_numpy()
+        d = 1000.0 * pt
+        brg = (doc % 360).astype(np.float64)
+        dlat, dlng = bearing_k.destination_point(lat, lng, d, brg)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "pt_idx": b["pt_idx"],
+                "dest_lat": pa.array(np.round(dlat, 6)),
+                "dest_lng": pa.array(np.round(dlng, 6)),
+            }
+        )
+
+    return points_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_DESTINATION_POINTS = f"""{POINTS_CTE}, dest AS (
+  SELECT doc_id, pt_idx, lat, lng,
+         1000.0 * pt_idx / 6371000.0 AS ang,
+         RADIANS(CAST(doc_id % 360 AS DOUBLE)) AS brg
+  FROM points
+), d2 AS (
+  SELECT doc_id, pt_idx, lng, brg, ang,
+         ASIN(SIN(RADIANS(lat)) * COS(ang) + COS(RADIANS(lat)) * SIN(ang) * COS(brg)) AS lat2,
+         RADIANS(lat) AS lat1
+  FROM dest
+)
+SELECT doc_id, pt_idx,
+  ROUND(DEGREES(lat2), 6) AS dest_lat,
+  ROUND(DEGREES(RADIANS(lng) + ATAN2(SIN(brg) * SIN(ang) * COS(lat1),
+                                     COS(ang) - SIN(lat1) * SIN(lat2))), 6) AS dest_lng
+FROM d2"""
+
+
+_CITY_BOXES = [
+    (
+        k,
+        round(lat - 0.08, 6),
+        round(lng - 0.112, 6),
+        round(lat + 0.08, 6),
+        round(lng + 0.112, 6),
+    )
+    for k, (lat, lng) in enumerate(derive.CITIES)
+]
+
+
+def q_box_contains(sf_dir: str):
+    """Strict box containment counts per city box (box.h:72-75 semantics)."""
+    boxes = _CITY_BOXES
+
+    def stage(b: pa.Table) -> pa.Table:
+        lat = b["lat"].to_numpy()
+        lng = b["lng"].to_numpy()
+        ids = []
+        ns = []
+        for k, mnlat, mnlng, mxlat, mxlng in boxes:
+            m = (lat > mnlat) & (lat < mxlat) & (lng > mnlng) & (lng < mxlng)
+            ids.append(k)
+            ns.append(int(m.sum()))
+        return pa.table({"box_id": pa.array(ids, pa.int64()), "n_partial": pa.array(ns, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    ds = points_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby("box_id").aggregate(Sum("n_partial", alias_name="n_points"))
+    return out
+
+
+SQL_BOX_CONTAINS = f"""{POINTS_CTE}, boxes AS (
+  SELECT * FROM (VALUES {", ".join(f"({k}, CAST({a!r} AS DOUBLE), CAST({b!r} AS DOUBLE), CAST({c!r} AS DOUBLE), CAST({d!r} AS DOUBLE))" for k, a, b, c, d in _CITY_BOXES)})
+  AS b(box_id, mnlat, mnlng, mxlat, mxlng)
+)
+SELECT box_id, COUNT(*) AS n_points
+FROM boxes JOIN points
+  ON lat > mnlat AND lat < mxlat AND lng > mnlng AND lng < mxlng
+GROUP BY box_id"""
+
+
+def q_box_envelope(sf_dir: str):
+    """Grouped envelope (box::extend over groups -> groupby min/max)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    def stage(b: pa.Table) -> pa.Table:
+        return b.append_column("g", pa.array(b["doc_id"].to_numpy() % 32))
+
+    ds = points_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("g").aggregate(
+        Min("lat", alias_name="min_lat"),
+        Min("lng", alias_name="min_lng"),
+        Max("lat", alias_name="max_lat"),
+        Max("lng", alias_name="max_lng"),
+        Count(alias_name="n"),
+    )
+
+
+SQL_BOX_ENVELOPE = f"""{POINTS_CTE}
+SELECT doc_id % 32 AS g, MIN(lat) AS min_lat, MIN(lng) AS min_lng,
+       MAX(lat) AS max_lat, MAX(lng) AS max_lng, COUNT(*) AS n
+FROM points GROUP BY doc_id % 32"""
+
+
+def q_merc_points(sf_dir: str):
+    def stage(b: pa.Table) -> pa.Table:
+        mx, my = merc_k.latlng_to_merc(b["lat"].to_numpy(), b["lng"].to_numpy())
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "pt_idx": b["pt_idx"],
+                "merc_x": pa.array(np.round(mx, 6)),
+                "merc_y": pa.array(np.round(my, 6)),
+            }
+        )
+
+    return points_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_MERC_POINTS = (
+    f"{POINTS_CTE} SELECT doc_id, pt_idx, ROUND({sql_merc_x('lng')}, 6) AS merc_x, "
+    f"ROUND({sql_merc_y('lat')}, 6) AS merc_y FROM points"
+)
+
+
+def q_tile_assign(sf_dir: str):
+    """Per-point z14 tile coordinates (tile.h:166-169: pixel // tile_size)."""
+    from geo_ray.stages import cells as cells_st
+
+    ds = points_ds(sf_dir).map_batches(
+        cells_st.assign_tiles, fn_kwargs={"zoom": 14}, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.select_columns(["doc_id", "pt_idx", "tile_x", "tile_y"])
+
+
+SQL_TILE_ASSIGN = (
+    f"{POINTS_CTE} SELECT doc_id, pt_idx, "
+    f"{sql_pixel_x('lng', 14, 4096)} // 4096 AS tile_x, "
+    f"{sql_pixel_y('lat', 14, 4096)} // 4096 AS tile_y FROM points"
+)
+
+
+def q_tile_counts(sf_dir: str):
+    """z8 tile histogram with per-batch partial aggregation before the shuffle."""
+    from ray.data.aggregate import Sum
+
+    def stage(b: pa.Table) -> pa.Table:
+        from geo_ray.kernels import tile as tile_k
+
+        tx, ty = tile_k.latlng_tile(b["lat"].to_numpy(), b["lng"].to_numpy(), 8)
+        tid = tx * 100000 + ty
+        u, c = np.unique(tid, return_counts=True)
+        return pa.table({"tile_id": pa.array(u), "n_partial": pa.array(c.astype(np.int64))})
+
+    ds = points_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("tile_id").aggregate(Sum("n_partial", alias_name="n_points"))
+
+
+SQL_TILE_COUNTS = f"""{POINTS_CTE}
+SELECT ({sql_pixel_x('lng', 8, 4096)} // 4096) * 100000 + ({sql_pixel_y('lat', 8, 4096)} // 4096) AS tile_id,
+       COUNT(*) AS n_points
+FROM points GROUP BY 1"""
+
+
+def q_cell_ids(sf_dir: str):
+    """tile_hash_32 quadkey per point (src/latlng.cc:75-96)."""
+    def stage(b: pa.Table) -> pa.Table:
+        h = cell_k.tile_hash_32(b["lat"].to_numpy(), b["lng"].to_numpy())
+        return pa.table(
+            {"doc_id": b["doc_id"], "pt_idx": b["pt_idx"], "cell": pa.array(h.astype(np.int64))}
+        )
+
+    return points_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_CELL_IDS = f"""{POINTS_CTE}, px AS (
+  SELECT doc_id, pt_idx,
+         {sql_pixel_x('lng', 16, 1)} AS x,
+         {sql_pixel_y('lat', 16, 1)} AS y
+  FROM points
+)
+SELECT doc_id, pt_idx, {sql_morton('x', 'y', 16)} AS cell FROM px"""
+
+
+def q_pip_join(sf_dir: str):
+    """Point-in-polygon join against the fixture polygon set (area_db flow)."""
+    from geo_ray.stages import pip_join as pip_st
+
+    ds = points_ds(sf_dir).map_batches(
+        pip_st.pip_join_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return ds.select_columns(["doc_id", "pt_idx", "area_id"])
+
+
+SQL_PIP_JOIN = f"{POINTS_CTE}\n" + "\nUNION ALL\n".join(
+    f"SELECT doc_id, pt_idx, {k} AS area_id FROM points WHERE {derive.pip_sql_predicate(ring)}"
+    for k, ring in derive.POLYGONS
+)
+
+
+def q_knn_cities(sf_dir: str):
+    """k=5 nearest derived points per city (point_rtree::nearest semantics:
+    ascending (distance, index) — realized as per-batch partial top-k + a tiny
+    grouped finish)."""
+    from geo_ray.stages import knn as knn_st
+
+    qlat = np.array([c[0] for c in derive.CITIES])
+    qlng = np.array([c[1] for c in derive.CITIES])
+    stage = knn_st.KnnAgainstQueries(np.arange(8), qlat, qlng, k=5)
+    ds = points_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby("query_id").map_groups(
+        lambda g: knn_st.finish_topk(g, 5), batch_format="pandas"
+    )
+    return out.map_batches(
+        lambda b: _round_cols(b, {"dist_m": 3}), batch_format="pyarrow"
+    ).select_columns(["query_id", "doc_id", "pt_idx", "dist_m"])
+
+
+SQL_KNN_CITIES = f"""{POINTS_CTE}
+SELECT query_id, doc_id, pt_idx, ROUND(d, 3) AS dist_m FROM (
+  SELECT query_id, doc_id, pt_idx,
+         {sql_haversine('qlat', 'qlng', 'lat', 'lng')} AS d
+  FROM points, {CITIES_REL}
+) QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, doc_id, pt_idx) <= 5"""
+
+
+def q_radius_cities(sf_dir: str):
+    """in_radius_with_distance(center, 1000, 50000) per city
+    (point_rtree.cc:21-36 boundary semantics: keep min <= d < max)."""
+    from geo_ray.stages import knn as knn_st
+
+    qlat = np.array([c[0] for c in derive.CITIES])
+    qlng = np.array([c[1] for c in derive.CITIES])
+    stage = knn_st.RadiusAgainstQueries(np.arange(8), qlat, qlng, 1000.0, 50000.0)
+    ds = points_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        lambda b: _round_cols(b, {"dist_m": 3}), batch_format="pyarrow"
+    ).select_columns(["query_id", "doc_id", "pt_idx", "dist_m"])
+
+
+SQL_RADIUS_CITIES = f"""{POINTS_CTE}
+SELECT query_id, doc_id, pt_idx, ROUND(d, 3) AS dist_m FROM (
+  SELECT query_id, doc_id, pt_idx,
+         {sql_haversine('qlat', 'qlng', 'lat', 'lng')} AS d
+  FROM points, {CITIES_REL}
+) WHERE d >= 1000.0 AND d < 50000.0"""
+
+
+def q_polyline_lengths(sf_dir: str):
+    """Per-document polyline length (src/polyline.cc:12-14) over each doc's
+    derived point sequence; vectorized per batch via offset reductions."""
+    def stage(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy().astype(np.int64)
+        n_pts = doc_id % 4
+        keep = n_pts >= 2
+        docs = doc_id[keep]
+        counts = n_pts[keep]
+        d_rep, pt_idx, lat, lng = derive.derive_points(docs)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        lengths = poly_k.lengths_of_lists(lat, lng, offsets)
+        return pa.table({"doc_id": pa.array(docs), "length_m": pa.array(np.round(lengths, 3))})
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_POLYLINE_LENGTHS = f"""{POINTS_CTE}, segs AS (
+  SELECT doc_id,
+         CASE WHEN pt_idx > 1
+              THEN {sql_haversine('LAG(lat) OVER w', 'LAG(lng) OVER w', 'lat', 'lng')}
+              END AS d
+  FROM points
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pt_idx)
+)
+SELECT doc_id, ROUND(SUM(d), 3) AS length_m FROM segs WHERE d IS NOT NULL GROUP BY doc_id"""
+
+
+def q_midpoints(sf_dir: str):
+    def stage(b: pa.Table) -> pa.Table:
+        mlat, mlng = bearing_k.midpoint(
+            b["lat"].to_numpy(), b["lng"].to_numpy(), FRANKFURT[0], FRANKFURT[1]
+        )
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "pt_idx": b["pt_idx"],
+                "mid_lat": pa.array(np.round(mlat, 6)),
+                "mid_lng": pa.array(np.round(mlng, 6)),
+            }
+        )
+
+    return points_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_MIDPOINTS = f"""{POINTS_CTE}, m AS (
+  SELECT doc_id, pt_idx, lat, lng,
+         RADIANS({FRANKFURT[0]}) AS blat,
+         RADIANS({FRANKFURT[1]} - lng) AS dlng,
+         RADIANS(lat) AS alat, RADIANS(lng) AS alng
+  FROM points
+), m2 AS (
+  SELECT doc_id, pt_idx, alat, alng,
+         COS(blat) * COS(dlng) AS bx, COS(blat) * SIN(dlng) AS by, SIN(blat) AS sb
+  FROM m
+)
+SELECT doc_id, pt_idx,
+  ROUND(DEGREES(ATAN2(SIN(alat) + sb, SQRT((COS(alat) + bx) * (COS(alat) + bx) + by * by))), 6) AS mid_lat,
+  ROUND(DEGREES(alng + ATAN2(by, COS(alat) + bx)), 6) AS mid_lng
+FROM m2"""
+
+
+def q_xyz_chord(sf_dir: str):
+    """Chord-form haversine (include/geo/xyz.h:29-36) to Frankfurt."""
+    fx, fy, fz = dist_k.xyz(*FRANKFURT)
+
+    def stage(b: pa.Table) -> pa.Table:
+        x, y, z = dist_k.xyz(b["lat"].to_numpy(), b["lng"].to_numpy())
+        d = 2.0 * dist_k.EARTH_RADIUS_M * np.arcsin(
+            np.sqrt((x - fx) ** 2 + (y - fy) ** 2 + (z - fz) ** 2)
+        )
+        return pa.table(
+            {"doc_id": b["doc_id"], "pt_idx": b["pt_idx"], "chord_m": pa.array(np.round(d, 3))}
+        )
+
+    return points_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_FX, _FY, _FZ = (float(v) for v in dist_k.xyz(*FRANKFURT))
+SQL_XYZ_CHORD = f"""{POINTS_CTE}, e AS (
+  SELECT doc_id, pt_idx,
+         0.5 * COS(RADIANS(lat)) * SIN(RADIANS(lng)) AS x,
+         0.5 * COS(RADIANS(lat)) * COS(RADIANS(lng)) AS y,
+         0.5 * SIN(RADIANS(lat)) AS z
+  FROM points
+)
+SELECT doc_id, pt_idx,
+  ROUND(2.0 * 6371000.0 * ASIN(SQRT((x - {_FX!r}) * (x - {_FX!r}) + (y - {_FY!r}) * (y - {_FY!r}) + (z - {_FZ!r}) * (z - {_FZ!r}))), 3) AS chord_m
+FROM e"""
+
+
+def q_lineitem_cells(sf_dir: str):
+    """z8 cell histogram over lineitem-derived points — the wide-shuffle query:
+    per-batch partial counts (combiner) before a small groupby."""
+    from ray.data.aggregate import Sum
+
+    def stage(b: pa.Table) -> pa.Table:
+        key = b["l_orderkey"].to_numpy().astype(np.int64) * 8 + b["l_linenumber"].to_numpy().astype(
+            np.int64
+        )
+        lat, lng = derive.point_coords(key, np.ones(key.size, dtype=np.int64))
+        x, y = cell_k.cell_at_zoom(lat, lng, 8)
+        c = cell_k.hash_from_xy(x, y).astype(np.int64)
+        u, n = np.unique(c, return_counts=True)
+        return pa.table({"cell_z8": pa.array(u), "n_partial": pa.array(n.astype(np.int64))})
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+    ds = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("cell_z8").aggregate(Sum("n_partial", alias_name="n_points"))
+
+
+SQL_LINEITEM_CELLS = f"""WITH lpts AS (
+  SELECT l_orderkey * 8 + l_linenumber AS k FROM lineitem
+), lp2 AS (
+  SELECT k * {derive._MULT} + 1 * {derive._STEP} AS h FROM lpts
+), coords AS (
+  SELECT
+    CASE WHEN h % 10 < 6
+      THEN (CASE (h // 10) % 8 {" ".join(f"WHEN {k} THEN CAST({derive.CITIES[k][0]!r} AS DOUBLE)" for k in range(8))} END) + ((h // 100) % 20000 - 10000) * CAST({derive._JITTER_LAT!r} AS DOUBLE)
+      ELSE ((h // 100) % 160000) / 1000.0 - 80.0 END AS lat,
+    CASE WHEN h % 10 < 6
+      THEN (CASE (h // 10) % 8 {" ".join(f"WHEN {k} THEN CAST({derive.CITIES[k][1]!r} AS DOUBLE)" for k in range(8))} END) + ((h // 7) % 20000 - 10000) * CAST({derive._JITTER_LNG!r} AS DOUBLE)
+      ELSE ((h // 7) % 359990) * CAST({derive._RURAL_LNG!r} AS DOUBLE) - 180.0 END AS lng
+  FROM lp2
+), px AS (
+  SELECT {sql_pixel_x('lng', 16, 1)} >> 8 AS x, {sql_pixel_y('lat', 16, 1)} >> 8 AS y FROM coords
+)
+SELECT {sql_morton('x', 'y', 8)} AS cell_z8, COUNT(*) AS n_points FROM px GROUP BY 1"""
+
+
+# ---------------------------------------------------------------------------
+# spans / flagship queries
+# ---------------------------------------------------------------------------
+
+
+def q_spans_shape(sf_dir: str):
+    """Synthesized interleaved-span payload shape — validates the input_hint
+    table construction (span counts per kind) against pure arithmetic."""
+    from geo_ray.pipelines import flagship as fl
+
+    def stage(b: pa.Table) -> pa.Table:
+        spans = b["spans"].combine_chunks()
+        offs = np.asarray(spans.offsets)
+        kinds = spans.flatten().field("kind")
+        is_geo = np.asarray(pc.equal(kinds, "geo"))
+        is_img = np.asarray(pc.equal(kinds, "image"))
+        cg = np.concatenate([[0], np.cumsum(is_geo)])
+        ci = np.concatenate([[0], np.cumsum(is_img)])
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "n_spans": pa.array(np.diff(offs).astype(np.int64)),
+                "n_geo": pa.array((cg[offs[1:]] - cg[offs[:-1]]).astype(np.int64)),
+                "n_media": pa.array((ci[offs[1:]] - ci[offs[:-1]]).astype(np.int64)),
+            }
+        )
+
+    return fl.documents_with_spans(sf_dir).map_batches(
+        stage, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_SPANS_SHAPE = """SELECT doc_id,
+  1 + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) + doc_id % 4 AS n_spans,
+  doc_id % 4 AS n_geo,
+  CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS n_media
+FROM documents"""
+
+
+def q_flagship(sf_dir: str):
+    """The full §3.1+§3.3 pipeline: spans-derived points -> cells -> PIP join
+    -> z14 tile assignment; oracle-checked end to end."""
+    from geo_ray.pipelines import flagship as fl
+
+    ds = fl.flagship(sf_dir)
+    return ds.select_columns(["doc_id", "pt_idx", "area_id", "tile_x", "tile_y"])
+
+
+SQL_FLAGSHIP = f"""{POINTS_CTE}, pip AS (
+{chr(10).join("  SELECT doc_id, pt_idx, " + str(k) + " AS area_id FROM points WHERE " + derive.pip_sql_predicate(ring) + (" UNION ALL" if k < len(derive.POLYGONS) - 1 else "") for k, ring in derive.POLYGONS)}
+)
+SELECT pip.doc_id, pip.pt_idx, pip.area_id,
+       {sql_pixel_x('points.lng', 14, 4096)} // 4096 AS tile_x,
+       {sql_pixel_y('points.lat', 14, 4096)} // 4096 AS tile_y
+FROM pip JOIN points ON pip.doc_id = points.doc_id AND pip.pt_idx = points.pt_idx"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only geo queries (no SQL-expressible oracle; covered by pytest goldens)
+# ---------------------------------------------------------------------------
+
+
+def q_polyline_encode(sf_dir: str):
+    """Google polyline encoding (precision 5) of each doc's point sequence."""
+    from geo_ray.kernels import codec as codec_k
+
+    def stage(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy().astype(np.int64)
+        keep = doc_id % 4 >= 2
+        docs = doc_id[keep]
+        d_rep, pt_idx, lat, lng = derive.derive_points(docs)
+        offsets = np.concatenate([[0], np.cumsum(docs % 4)])
+        enc = codec_k.encode_polylines_batch(lat, lng, offsets, precision=5)
+        return pa.table({"doc_id": pa.array(docs), "encoded": pa.array(enc)})
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_simplify_masks(sf_dir: str):
+    """Multi-zoom simplify masks of synthetic 24-vertex walks seeded per doc
+    (make_simplify_mask semantics, simplify_mask.h:112-158)."""
+    from geo_ray.kernels import simplify as simp_k
+
+    def stage(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy().astype(np.int64)
+        keep = doc_id % 4 >= 1
+        docs = doc_id[keep]
+        out = {"doc_id": [], "n_vertices": [], "n_kept_z0": [], "n_kept_z10": [], "mask_bytes": []}
+        for d in docs:
+            lat0, lng0 = derive.point_coords(np.array([d]), np.array([1]))
+            steps = np.arange(24)
+            lat = np.clip(lat0[0] + 0.001 * np.sin(steps * (d % 7 + 1)), -85.0, 85.0)
+            lng = lng0[0] + 0.001 * np.cos(steps * (d % 5 + 1))
+            masks = simp_k.make_simplify_mask(lat, lng)
+            blob = simp_k.serialize_simplify_mask(masks)
+            out["doc_id"].append(int(d))
+            out["n_vertices"].append(24)
+            out["n_kept_z0"].append(int(masks[0].sum()))
+            out["n_kept_z10"].append(int(masks[10].sum()))
+            out["mask_bytes"].append(len(blob))
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.int64()),
+                "n_vertices": pa.array(out["n_vertices"], pa.int64()),
+                "n_kept_z0": pa.array(out["n_kept_z0"], pa.int64()),
+                "n_kept_z10": pa.array(out["n_kept_z10"], pa.int64()),
+                "mask_bytes": pa.array(out["mask_bytes"], pa.int64()),
+            }
+        )
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_cluster_city(sf_dir: str):
+    """cluster_nearby (float32 SL+CL semantics) over each city's cell-local
+    points: cell-salted groupby + per-group clustering (SURVEY.md §2 #48)."""
+    def assign(b: pa.Table) -> pa.Table:
+        lat = b["lat"].to_numpy()
+        lng = b["lng"].to_numpy()
+        city = np.full(lat.size, -1, dtype=np.int64)
+        for k, (clat, clng) in enumerate(derive.CITIES):
+            m = (np.abs(lat - clat) < 0.12) & (np.abs(lng - clng) < 0.15)
+            city[m] = k
+        t = b.append_column("city", pa.array(city))
+        return t.filter(pa.array(city >= 0))
+
+    def cluster_group(g):
+        import pandas as pd
+
+        from geo_ray.kernels.cluster import cluster_nearby
+
+        g = g.sort_values(["doc_id", "pt_idx"], kind="mergesort").reset_index(drop=True)
+        labels = cluster_nearby(g["lat"].to_numpy(), g["lng"].to_numpy(), 500.0)
+        return pd.DataFrame(
+            {
+                "city": g["city"],
+                "doc_id": g["doc_id"],
+                "pt_idx": g["pt_idx"],
+                "cluster": labels.astype(np.int64),
+            }
+        )
+
+    ds = points_ds(sf_dir).map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("city").map_groups(cluster_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# text / dedup / events / embeddings queries
+# ---------------------------------------------------------------------------
+
+
+def _docs_ds(sf_dir: str):
+    rd = _rd()
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def q_token_counts(sf_dir: str):
+    from geo_ray.stages import text as text_st
+
+    return _docs_ds(sf_dir).map_batches(text_st.token_count, batch_format="pyarrow")
+
+
+SQL_TOKEN_COUNTS = r"SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens FROM documents"
+
+
+def q_quality_scores(sf_dir: str):
+    from geo_ray.stages import text as text_st
+
+    return _docs_ds(sf_dir).map_batches(text_st.quality_score, batch_format="pyarrow")
+
+
+SQL_QUALITY_SCORES = r"""SELECT doc_id,
+  CAST(LENGTH(text) AS BIGINT) AS n_chars,
+  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) AS n_punct,
+  ROUND((LENGTH(text) - (GREATEST(len(regexp_extract_all(text, '\S+')), 1) - 1))
+        / CAST(GREATEST(len(regexp_extract_all(text, '\S+')), 1) AS DOUBLE), 6) AS mean_token_len
+FROM documents"""
+
+
+def q_stopword_hits(sf_dir: str):
+    from geo_ray.stages import text as text_st
+
+    return _docs_ds(sf_dir).map_batches(text_st.stopword_hits, batch_format="pyarrow")
+
+
+def _sql_stopword_col(lang: str) -> str:
+    from geo_ray.stages.text import STOPWORDS
+
+    alt = "|".join(STOPWORDS[lang])
+    return rf"CAST(len(regexp_extract_all(text, '\b({alt})\b')) AS BIGINT) AS n_{lang}"
+
+
+SQL_STOPWORD_HITS = (
+    "SELECT doc_id, "
+    + ", ".join(_sql_stopword_col(lang) for lang in ["en", "de", "es", "fr"])
+    + " FROM documents"
+)
+
+
+def q_lang_id(sf_dir: str):
+    from geo_ray.stages import text as text_st
+
+    return _docs_ds(sf_dir).map_batches(text_st.lang_id, batch_format="pyarrow")
+
+
+SQL_LANG_ID = f"""WITH hits AS ({SQL_STOPWORD_HITS})
+SELECT doc_id,
+  CASE WHEN n_en = 0 AND n_de = 0 AND n_es = 0 AND n_fr = 0 THEN 'und'
+       WHEN n_de >= n_en AND n_de >= n_es AND n_de >= n_fr THEN 'de'
+       WHEN n_en >= n_es AND n_en >= n_fr THEN 'en'
+       WHEN n_es >= n_fr THEN 'es'
+       ELSE 'fr' END AS lang_pred
+FROM hits"""
+
+
+def q_exact_dedup(sf_dir: str):
+    """Exact dedup: keep the smallest doc_id per identical text (hash-partition
+    + per-group first — realized as groupby(text).aggregate(min, count))."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _docs_ds(sf_dir)
+    out = ds.groupby("text").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_copies")
+    )
+    return out.select_columns(["keep_doc_id", "n_copies"])
+
+
+SQL_EXACT_DEDUP = (
+    "SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies FROM documents GROUP BY text"
+)
+
+
+def q_fingerprints(sf_dir: str):
+    from geo_ray.stages import text as text_st
+
+    return _docs_ds(sf_dir).map_batches(text_st.fingerprint, batch_format="pyarrow")
+
+
+def q_minhash_pairs(sf_dir: str):
+    """MinHash+LSH near-dup candidates: shingle->minhash->band->bucket groupby
+    -> per-bucket verified pairs -> global pair dedup."""
+    from ray.data.aggregate import Max
+
+    from geo_ray.stages import dedup as dedup_st
+
+    ds = _docs_ds(sf_dir).map_batches(dedup_st.minhash_bands, batch_format="pyarrow")
+    pairs = ds.groupby("band_key").map_groups(dedup_st.bucket_pairs, batch_format="pandas")
+
+    def pack(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy().astype(np.int64)
+        bb = b["doc_b"].to_numpy().astype(np.int64)
+        return b.append_column("pair_key", pa.array(a * 10_000_000 + bb))
+
+    pairs = pairs.map_batches(pack, batch_format="pyarrow")
+    out = pairs.groupby("pair_key").aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+
+    def unpack(b: pa.Table) -> pa.Table:
+        k = b["pair_key"].to_numpy()
+        return pa.table(
+            {
+                "doc_a": pa.array(k // 10_000_000),
+                "doc_b": pa.array(k % 10_000_000),
+                "est_jaccard": b["est_jaccard"],
+            }
+        )
+
+    return out.map_batches(unpack, batch_format="pyarrow")
+
+
+def q_simhash(sf_dir: str):
+    from geo_ray.stages import dedup as dedup_st
+
+    return _docs_ds(sf_dir).map_batches(dedup_st.simhash64, batch_format="pyarrow")
+
+
+def q_ngram_dup_groups(sf_dir: str):
+    """Exact n-gram Jaccard pairs within (lang, source) buckets."""
+    def keyed(b: pa.Table) -> pa.Table:
+        lang = b["lang"].to_numpy(zero_copy_only=False)
+        src = b["source"].to_numpy(zero_copy_only=False)
+        key = np.array([f"{a}|{b_}" for a, b_ in zip(lang, src)])
+        return b.append_column("bucket", pa.array(key.tolist()))
+
+    from geo_ray.stages import dedup as dedup_st
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    ds = ds.map_batches(keyed, batch_format="pyarrow")
+    return ds.groupby("bucket").map_groups(
+        lambda g: dedup_st.ngram_jaccard_pairs(g, 3, 0.5), batch_format="pandas"
+    )
+
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 per deterministic query vector."""
+    from geo_ray.stages import ann as ann_st
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = ds.map_batches(ann_st.CosineTopK(8, 10), batch_format="pyarrow")
+    return ds.groupby("query_id").map_groups(
+        lambda g: ann_st.finish_ann_topk(g, 10), batch_format="pandas"
+    )
+
+
+def _sql_query_vec(qid: int) -> str:
+    from geo_ray.stages.ann import query_matrix
+
+    vals = query_matrix(8)[qid]
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+SQL_ANN_TOPK = "\nUNION ALL\n".join(
+    f"""SELECT * FROM (
+  SELECT {qid} AS query_id, vec_id,
+         ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_sql_query_vec(qid)}), 6) AS cos_sim,
+         list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_sql_query_vec(qid)}) AS raw
+  FROM embeddings
+  QUALIFY ROW_NUMBER() OVER (ORDER BY raw DESC, vec_id) <= 10
+)"""
+    for qid in range(8)
+).replace("SELECT * FROM (", "SELECT query_id, vec_id, cos_sim FROM (")
+
+
+def q_ivf_counts(sf_dir: str):
+    """IVF coarse-quantizer partition histogram (the ANN scale path)."""
+    from ray.data.aggregate import Count
+
+    from geo_ray.stages import ann as ann_st
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = ds.map_batches(ann_st.ivf_assign, batch_format="pyarrow")
+    return ds.groupby("centroid_id").aggregate(Count(alias_name="n_vectors"))
+
+
+def q_event_hourly(sf_dir: str):
+    """Tumbling-window aggregate: events per (user, hour) + value sum."""
+    from ray.data.aggregate import Count, Sum
+
+    def stage(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        hour_id = ts // 3_600_000_000
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "hour_id": pa.array(hour_id),
+                "value": b["value"],
+            }
+        )
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
+    ds = ds.map_batches(stage, batch_format="pyarrow")
+    out = ds.groupby(["user_id", "hour_id"]).aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return _round_cols(b, {"sum_value": 6})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_EVENT_HOURLY = """SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
+  COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2"""
+
+
+def q_event_sessions(sf_dir: str):
+    """Sessionization: per user, count sessions split at >30 min gaps."""
+    def sess(g):
+        import pandas as pd
+
+        g = g.sort_values("ts", kind="mergesort")
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        gaps = np.diff(ts) > 1_800_000_000
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [int(gaps.sum()) + 1],
+                "n_events": [len(g)],
+            }
+        )
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+
+
+SQL_EVENT_SESSIONS = """WITH d AS (
+  SELECT user_id,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM d GROUP BY user_id"""

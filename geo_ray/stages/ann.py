@@ -1,0 +1,74 @@
+"""Similarity search over embedding columns.
+
+- ``CosineTopK``: brute-force cosine top-k — the exactness baseline. The query
+  matrix is broadcast (built in ``__init__``, once per actor/task); each batch
+  computes one GEMM against the L2-normalized query block and emits per-batch
+  PARTIAL top-k rows, finished by a tiny groupby (same pattern as the kNN
+  join: pre-aggregate before the shuffle).
+- ``ivf_assign``: the scale path — assign each vector to its nearest coarse
+  centroid so a probe only scans matching partitions (cell-keyed layout).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+EMBED_DIM = 64
+
+
+def query_matrix(n_queries: int = 8, dim: int = EMBED_DIM) -> np.ndarray:
+    """Deterministic query vectors: q[qid, j] = ((j*37 + qid*11) % 19 - 9) / 10."""
+    q = np.arange(n_queries)[:, None] * 11 + np.arange(dim)[None, :] * 37
+    return ((q % 19) - 9) / 10.0
+
+
+def _embeddings_to_matrix(col: pa.ChunkedArray) -> np.ndarray:
+    arr = col.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(arr), -1)
+
+
+class CosineTopK:
+    def __init__(self, n_queries: int = 8, k: int = 10):
+        self.q = query_matrix(n_queries)
+        self.qn = self.q / np.linalg.norm(self.q, axis=1, keepdims=True)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = _embeddings_to_matrix(batch["embedding"])
+        norms = np.sqrt((v * v).sum(axis=1))
+        norms[norms == 0] = 1.0
+        cos = (v / norms[:, None]) @ self.qn.T  # (n, n_queries)
+        k = min(self.k, v.shape[0])
+        top = np.argpartition(-cos, k - 1, axis=0)[:k]  # (k, n_queries)
+        vec_ids = batch["vec_id"].to_numpy()
+        nq = self.q.shape[0]
+        qid = np.repeat(np.arange(nq, dtype=np.int64), k)
+        rows = top.T.ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(qid),
+                "vec_id": pa.array(vec_ids[rows]),
+                "cos_sim": pa.array(cos[rows, np.repeat(np.arange(nq), k)]),
+            }
+        )
+
+
+def finish_ann_topk(group, k: int = 10):
+    g = group.sort_values(["cos_sim", "vec_id"], ascending=[False, True], kind="mergesort")
+    g = g.head(k).copy()
+    g["cos_sim"] = np.round(g["cos_sim"].to_numpy(), 6)
+    return g
+
+
+def ivf_assign(batch: pa.Table, n_centroids: int = 16) -> pa.Table:
+    """Assign each embedding to its nearest (cosine) deterministic centroid —
+    the coarse-quantizer partitioning step of an IVF index."""
+    cents = query_matrix(n_centroids)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    v = _embeddings_to_matrix(batch["embedding"])
+    norms = np.sqrt((v * v).sum(axis=1))
+    norms[norms == 0] = 1.0
+    sim = (v / norms[:, None]) @ cn.T
+    return batch.append_column("centroid_id", pa.array(np.argmax(sim, axis=1).astype(np.int64)))

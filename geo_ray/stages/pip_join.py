@@ -1,0 +1,134 @@
+"""Point-in-polygon join stages.
+
+Two realizations of the reference's ``area_db`` lookup
+(include/geo/area_db.h:98-214), per SURVEY.md §3.1:
+
+1. ``PipJoiner`` — broadcast small side: a callable CLASS for
+   ``ds.map_batches(PipJoiner, fn_constructor_kwargs=..., concurrency=N)``.
+   ``__init__`` runs once per actor and compiles the polygon set (ring arrays
+   + bbox prefilter index) — the Ray-native analogue of area_db_lookup's
+   per-process compiled ``tg`` geometries + rtree (area_db.h:119-164);
+   ``__call__`` streams Arrow batches through a vectorized bbox-candidate scan
+   + even-odd refine (area_db.h:194-214).
+
+2. ``explode_polygon_cells`` + per-group refine — cell co-partition path for
+   polygon sets too large to broadcast: polygons are exploded to their
+   zoom-z cell cover, points carry their cell, and a ``groupby(cell)`` joins
+   the two sides (dedup key (doc_id, pt_idx, area_id) guards against a
+   polygon covering multiple cells of one point's neighborhood).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from geo_ray.kernels import cell as cell_k
+from geo_ray.kernels import pip as pip_k
+from geo_ray.sources import derive
+
+
+class CompiledPolygons:
+    """Ring arrays + bbox arrays for a polygon set, built once."""
+
+    def __init__(self, polygons=None):
+        # polygons: list of (area_id, lat_arr, lng_arr[, holes])
+        if polygons is None:
+            polygons = derive.polygons_arrays()
+        self.polys = []
+        bb = []
+        for entry in polygons:
+            area_id, lat, lng = entry[0], np.asarray(entry[1]), np.asarray(entry[2])
+            holes = entry[3] if len(entry) > 3 else []
+            self.polys.append((area_id, lat, lng, holes))
+            bb.append((lat.min(), lng.min(), lat.max(), lng.max()))
+        b = np.array(bb) if bb else np.zeros((0, 4))
+        self.bb_min_lat = b[:, 0]
+        self.bb_min_lng = b[:, 1]
+        self.bb_max_lat = b[:, 2]
+        self.bb_max_lng = b[:, 3]
+
+    def lookup(self, lat: np.ndarray, lng: np.ndarray):
+        """All (point_row, area_id) containment pairs, vectorized:
+        bbox candidate mask per polygon, even-odd refine on candidates."""
+        rows_out = []
+        areas_out = []
+        for k, (area_id, r_lat, r_lng, holes) in enumerate(self.polys):
+            cand = (
+                (lat >= self.bb_min_lat[k])
+                & (lat <= self.bb_max_lat[k])
+                & (lng >= self.bb_min_lng[k])
+                & (lng <= self.bb_max_lng[k])
+            )
+            if not cand.any():
+                continue
+            idx = np.flatnonzero(cand)
+            inside = pip_k.points_in_ring(lat[idx], lng[idx], r_lat, r_lng)
+            if holes:
+                hit = idx[inside]
+                keep = np.ones(hit.size, dtype=bool)
+                for h_lat, h_lng in holes:
+                    keep &= ~pip_k.points_in_ring(lat[hit], lng[hit], h_lat, h_lng)
+                hit = hit[keep]
+            else:
+                hit = idx[inside]
+            if hit.size:
+                rows_out.append(hit)
+                areas_out.append(np.full(hit.size, area_id, dtype=np.int64))
+        if not rows_out:
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+        return np.concatenate(rows_out), np.concatenate(areas_out)
+
+
+class PipJoiner:
+    """Actor-pool stage: broadcast compiled polygon index, stream batches.
+
+    Pass ``polygons_ref`` (a ``ray.put`` object ref) to share one polygon list
+    across the pool, or nothing to compile the built-in fixture polygons.
+    """
+
+    def __init__(self, polygons_ref=None):
+        if polygons_ref is not None:
+            import ray
+
+            polygons = ray.get(polygons_ref)
+        else:
+            polygons = None
+        self.index = CompiledPolygons(polygons)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch["lat"].to_numpy()
+        lng = batch["lng"].to_numpy()
+        rows, areas = self.index.lookup(lat, lng)
+        out = batch.take(pa.array(rows))
+        return out.append_column("area_id", pa.array(areas))
+
+
+def pip_join_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-function variant (compiles fixtures per task — tests only)."""
+    return PipJoiner()(batch)
+
+
+def explode_polygon_cells(polygons, zoom: int = 8) -> pa.Table:
+    """Polygon side of the co-partition join: one row per (cell, polygon) in
+    the polygon's bbox cell cover at ``zoom``."""
+    cells = []
+    ids = []
+    for entry in polygons:
+        area_id, lat, lng = entry[0], np.asarray(entry[1]), np.asarray(entry[2])
+        x0, y0 = cell_k.cell_at_zoom(np.array([lat.min()]), np.array([lng.min()]), zoom)
+        x1, y1 = cell_k.cell_at_zoom(np.array([lat.max()]), np.array([lng.max()]), zoom)
+        xs = np.arange(min(int(x0[0]), int(x1[0])), max(int(x0[0]), int(x1[0])) + 1)
+        ys = np.arange(min(int(y0[0]), int(y1[0])), max(int(y0[0]), int(y1[0])) + 1)
+        gx, gy = np.meshgrid(xs, ys)
+        c = (cell_k.hash_from_xy(gx.ravel(), gy.ravel()) & np.uint32((1 << (2 * zoom)) - 1)).astype(
+            np.int64
+        )
+        cells.append(c)
+        ids.append(np.full(c.size, area_id, dtype=np.int64))
+    return pa.table(
+        {
+            "cell_key": pa.array(np.concatenate(cells) if cells else np.zeros(0, np.int64)),
+            "area_id": pa.array(np.concatenate(ids) if ids else np.zeros(0, np.int64)),
+        }
+    )

@@ -1,0 +1,115 @@
+"""End-to-end pipeline tests over sf0.001 (single shared Ray session).
+
+Covers: span synthesis + the per-row span-sequence invariant (input_hint),
+flagship join output vs an independent driver-side oracle, and the broadcast
+actor-pool PIP join vs the task-based path.
+"""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def ray_data(ray_session):
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray_session
+
+
+def test_span_sequence_invariant(ray_data):
+    """spans (kind, text, media_ref, order) must survive the pipeline unchanged."""
+    from geo_ray.pipelines import flagship as fl
+    from geo_ray.stages import cells
+
+    ds = fl.documents_with_spans(SF)
+    # push the payload through two more geometry stages (per-doc point derive)
+    def enrich(b):
+        import pyarrow as pa
+
+        doc = b["doc_id"].to_numpy()
+        return b.append_column("n_geo", pa.array((doc % 4).astype(np.int64)))
+
+    out = ds.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+    got = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # independent reconstruction of the expected span sequence
+    src = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    src = src.sort_values("doc_id").reset_index(drop=True)
+    assert (got["doc_id"].to_numpy() == src["doc_id"].to_numpy()).all()
+    for i in range(0, len(src), 37):
+        doc_id = int(src["doc_id"][i])
+        spans = got["spans"][i]
+        expected_kinds = ["text"] + (["image"] if doc_id % 3 == 0 else []) + ["geo"] * (doc_id % 4)
+        assert [s["kind"] for s in spans] == expected_kinds
+        assert spans[0]["text"] == src["text"][i]
+        assert [s["offset"] for s in spans] == list(range(len(spans)))
+        for s in spans[1:]:
+            assert s["text"] == ""
+
+
+def test_flagship_matches_driver_side_oracle(ray_data):
+    from geo_ray.kernels import pip as pip_k
+    from geo_ray.kernels import tile as tile_k
+    from geo_ray.pipelines import queries as Q
+    from geo_ray.sources import derive
+
+    got = Q.q_flagship(SF).to_pandas()
+    doc_ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
+    d, i, lat, lng = derive.derive_points(doc_ids)
+    rows = []
+    for k, rlat, rlng in derive.polygons_arrays():
+        m = pip_k.points_in_ring(lat, lng, rlat, rlng)
+        tx, ty = tile_k.latlng_tile(lat[m], lng[m], 14)
+        for dd, ii, x, y in zip(d[m], i[m], tx, ty):
+            rows.append((dd, ii, k, x, y))
+    want = sorted(rows)
+    got_rows = sorted(
+        zip(got["doc_id"], got["pt_idx"], got["area_id"], got["tile_x"], got["tile_y"])
+    )
+    assert got_rows == want
+    assert len(got_rows) > 0
+
+
+def test_actor_pool_pip_join_matches_task_path(ray_data):
+    from geo_ray.pipelines import flagship as fl
+
+    task_out = fl.flagship(SF, use_actors=False).to_pandas()
+    actor_out = fl.flagship(SF, use_actors=True, concurrency=2).to_pandas()
+    key = ["doc_id", "pt_idx", "area_id"]
+    a = task_out[key].sort_values(key).reset_index(drop=True)
+    b = actor_out[key].sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_knn_partial_topk_is_exact(ray_data):
+    """Partial per-batch top-k + grouped finish == global top-k."""
+    from geo_ray.kernels import distance as dist_k
+    from geo_ray.pipelines import queries as Q
+    from geo_ray.sources import derive
+
+    got = Q.q_knn_cities(SF).to_pandas()
+    doc_ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
+    d, i, lat, lng = derive.derive_points(doc_ids)
+    for qid, (qlat, qlng) in enumerate(derive.CITIES):
+        dist = dist_k.haversine(qlat, qlng, lat, lng)
+        order = np.lexsort((i, d, dist))[:5]
+        want = sorted(zip(d[order], i[order]))
+        g = got[got["query_id"] == qid]
+        assert sorted(zip(g["doc_id"], g["pt_idx"])) == want
+
+
+def test_replicate_docs_distinct_geometry(ray_data):
+    import pyarrow as pa
+
+    from geo_ray.stages import spans as spans_st
+
+    b = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()), "text": pa.array(["a", "b"])})
+    out = spans_st.replicate_docs(b, factor=3)
+    assert out.num_rows == 6
+    ids = out["doc_id"].to_numpy()
+    assert len(set(ids.tolist())) == 6
+    assert (ids[:2] == [1, 2]).all()
