@@ -510,8 +510,9 @@ FROM e"""
 
 def q_lineitem_cells(sf_dir: str):
     """z8 cell histogram over lineitem-derived points — the wide-shuffle query:
-    per-batch partial counts (combiner) before a small groupby."""
-    from ray.data.aggregate import Sum
+    per-batch partial counts (combiner), finished by a tree combine — the z8
+    cell domain is bounded at 4^8 keys so no sort-shuffle is needed."""
+    from geo_ray.stages import agg
 
     def stage(b: pa.Table) -> pa.Table:
         key = b["l_orderkey"].to_numpy().astype(np.int64) * 8 + b["l_linenumber"].to_numpy().astype(
@@ -528,7 +529,10 @@ def q_lineitem_cells(sf_dir: str):
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
     )
     ds = ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
-    return ds.groupby("cell_z8").aggregate(Sum("n_partial", alias_name="n_points"))
+    ds = agg.tree_sum(ds, "cell_z8", "n_partial")
+    return ds.map_batches(
+        lambda b: b.rename_columns(["cell_z8", "n_points"]), batch_format="pyarrow"
+    )
 
 
 SQL_LINEITEM_CELLS = f"""WITH lpts AS (
@@ -801,7 +805,13 @@ def q_minhash_pairs(sf_dir: str):
     from geo_ray.stages import dedup as dedup_st
 
     ds = _docs_ds(sf_dir).map_batches(dedup_st.minhash_bands, batch_format="pyarrow")
-    pairs = ds.groupby("band_key").map_groups(dedup_st.bucket_pairs, batch_format="pandas")
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bucket = b["band_key"].to_numpy().view(np.uint64) % np.uint64(64)
+        return b.append_column("bucket", pa.array(bucket.astype(np.int64)))
+
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = ds.groupby("bucket").map_groups(dedup_st.coarse_bucket_pairs, batch_format="pandas")
 
     def pack(b: pa.Table) -> pa.Table:
         a = b["doc_a"].to_numpy().astype(np.int64)

@@ -1,0 +1,43 @@
+"""Tree-combine aggregation for bounded-key-domain histograms.
+
+Ray Data's ``groupby().aggregate()`` is a sort-based all-to-all shuffle; for
+partial-aggregated tables whose key domain is BOUNDED (e.g. a z8 quadkey
+histogram has at most 4^8 = 65 536 cells) a coalesce-and-combine tree is far
+cheaper: each level concatenates a handful of already-tiny partial tables and
+re-combines them vectorized (sort + ``np.add.reduceat``). No row ever moves
+twice, and the final single block is at most |key domain| rows — this is the
+pre-aggregate-before-shuffle pattern taken to its limit.
+
+Use ONLY after a map_batches stage has already collapsed each input block to
+(key, partial) rows, and only when |key domain| fits one block comfortably;
+for unbounded keys use ``groupby`` (documented in SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def combine_sums(batch: pa.Table, key: str, value: str) -> pa.Table:
+    """Merge (key, value) partial-sum rows: one output row per distinct key."""
+    k = batch[key].to_numpy()
+    v = batch[value].to_numpy()
+    order = np.argsort(k, kind="mergesort")
+    k, v = k[order], v[order]
+    uk, starts = np.unique(k, return_index=True)
+    return pa.table({key: pa.array(uk), value: pa.array(np.add.reduceat(v, starts))})
+
+
+def tree_sum(ds, key: str, value: str, fanout: int = 8):
+    """Dataset of (key, partial-sum) rows -> one block of (key, total) rows."""
+
+    def combine(b: pa.Table) -> pa.Table:
+        return combine_sums(b, key, value)
+
+    ds = ds.repartition(fanout).map_batches(
+        combine, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return ds.repartition(1).map_batches(
+        combine, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )

@@ -63,6 +63,34 @@ def minhash_signature(shingles: np.ndarray) -> np.ndarray:
     return vals.min(axis=0)
 
 
+def batch_signatures(texts: list[str], k: int = 3) -> np.ndarray:
+    """(n_docs, N_HASH) minhash matrix, fully vectorized across the batch:
+    tokenize+hash all tokens at once (kernels.strhash column-loop FNV-1a),
+    rolling shingles flat, universal-hash all shingles x 64 in one GEMM-shaped
+    op, per-doc min via ``np.minimum.reduceat``. Values are bit-identical to
+    the scalar ``minhash_signature(_shingle_hashes(t))`` path (min over a
+    multiset equals min over the set, so the dedup step is unnecessary)."""
+    from geo_ray.kernels import strhash
+
+    th, offs = strhash.batch_token_hashes(texts, min_tokens=k)
+    sh, sh_offs = strhash.shingle_hashes_flat(th, offs, k)
+    a, b = _coeffs()
+    n = offs.size - 1
+    if n == 0:
+        return np.zeros((0, N_HASH), dtype=np.uint64)
+    s = sh.astype(np.uint64) & _MERSENNE
+    # row loop with fully in-place ops, not a broadcast outer product:
+    # NumPy's uint64 broadcast path is ~40x slower, and per-iteration
+    # temporaries trigger pathological allocator behavior on first call
+    # (7.5s vs 0.07s for this matrix) — write straight into vals[j].
+    vals = np.empty((N_HASH, s.size), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(N_HASH):
+            np.multiply(s, a[j], out=vals[j])
+            np.add(vals[j], b[j], out=vals[j])
+    return np.minimum.reduceat(vals, sh_offs[:-1], axis=1).T.copy()
+
+
 def minhash_bands(batch: pa.Table) -> pa.Table:
     """documents -> one row per (band, doc): (band_key, doc_id, sig binary).
 
@@ -73,9 +101,7 @@ def minhash_bands(batch: pa.Table) -> pa.Table:
     doc_ids = batch["doc_id"].to_numpy()
     texts = batch["text"].to_pylist()
     n = len(texts)
-    sigs = np.zeros((n, N_HASH), dtype=np.uint64)
-    for i, t in enumerate(texts):
-        sigs[i] = minhash_signature(_shingle_hashes(t))
+    sigs = batch_signatures(texts)
     band_keys = np.zeros((n, N_BANDS), dtype=np.int64)
     with np.errstate(over="ignore"):
         for b in range(N_BANDS):
@@ -95,6 +121,47 @@ def minhash_bands(batch: pa.Table) -> pa.Table:
             "doc_id": pa.array(out_doc),
             "sig": pa.array(sig_bytes, type=pa.binary()),
         }
+    )
+
+
+def coarse_bucket_pairs(group, threshold: float = 0.6):
+    """map_groups over COARSE buckets (band_key % NB): one call handles many
+    LSH buckets at once — sort by band_key, find runs with >=2 docs, emit
+    verified pairs per run. Per-group Python overhead is amortized over
+    thousands of buckets (Ray Data's map_groups calls the UDF once per group,
+    so the group key must be low-cardinality)."""
+    import pandas as pd
+
+    empty = pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
+    bk = group["band_key"].to_numpy()
+    ids = group["doc_id"].to_numpy()
+    order = np.lexsort((ids, bk))
+    bk, ids = bk[order], ids[order]
+    sig_rows = group["sig"].to_numpy()[order]
+    # drop duplicate (band_key, doc) pairs, then runs of identical band_key
+    keep = np.ones(bk.size, dtype=bool)
+    keep[1:] = (bk[1:] != bk[:-1]) | (ids[1:] != ids[:-1])
+    bk, ids, sig_rows = bk[keep], ids[keep], sig_rows[keep]
+    starts = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
+    lens = np.diff(np.concatenate([starts, [bk.size]]))
+    multi = starts[lens >= 2]
+    if multi.size == 0:
+        return empty
+    out_a, out_b, out_j = [], [], []
+    for s, ln in zip(multi, lens[lens >= 2]):
+        g_ids = ids[s : s + ln]
+        sigs = np.stack([np.frombuffer(x, dtype=np.uint64) for x in sig_rows[s : s + ln]])
+        iu, ju = np.triu_indices(g_ids.size, 1)
+        est = (sigs[iu] == sigs[ju]).mean(axis=1)
+        m = est >= threshold
+        out_a.append(g_ids[iu[m]])
+        out_b.append(g_ids[ju[m]])
+        out_j.append(np.round(est[m], 3))
+    a = np.concatenate(out_a)
+    if a.size == 0:
+        return empty
+    return pd.DataFrame(
+        {"doc_a": a, "doc_b": np.concatenate(out_b), "est_jaccard": np.concatenate(out_j)}
     )
 
 
@@ -129,19 +196,33 @@ def bucket_pairs(group, threshold: float = 0.6):
 
 
 def simhash64(batch: pa.Table) -> pa.Table:
-    """64-bit SimHash over whitespace tokens (unweighted)."""
+    """64-bit SimHash over UNIQUE whitespace tokens (unweighted), vectorized:
+    one token-hash pass for the batch, per-doc dedup via lexsort first-occurrence
+    mask, bit votes summed with ``np.add.reduceat`` over doc runs."""
+    from geo_ray.kernels import strhash
+
     doc_ids = batch["doc_id"].to_numpy()
-    out = np.zeros(len(doc_ids), dtype=np.uint64)
-    for i, t in enumerate(batch["text"].to_pylist()):
-        toks = set(t.split())
-        if not toks:
-            continue
-        hs = np.array([hash_str64(tok) for tok in toks], dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+    n = len(doc_ids)
+    th, offs = strhash.batch_token_hashes(batch["text"].to_pylist())
+    out = np.zeros(n, dtype=np.uint64)
+    if th.size:
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        order = np.lexsort((th, doc_of))
+        d, h = doc_of[order], th[order]
+        first = np.ones(h.size, dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        d, h = d[first], h[first]
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
             np.int64
         )
-        vote = (2 * bits - 1).sum(axis=0)
-        out[i] = np.sum((vote > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64))
+        starts_mask = np.ones(d.size, dtype=bool)
+        starts_mask[1:] = d[1:] != d[:-1]
+        starts = np.flatnonzero(starts_mask)
+        votes = np.add.reduceat(2 * bits - 1, starts, axis=0)
+        sh = ((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        out[d[starts]] = sh
     return pa.table({"doc_id": batch["doc_id"], "simhash": pa.array(out.view(np.int64))})
 
 

@@ -1,0 +1,49 @@
+"""Vectorized string hashing == scalar definitions, bit for bit."""
+
+import numpy as np
+
+from geo_ray.kernels import strhash
+from geo_ray.stages import dedup
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "",
+    "one",
+    "a b c d e f g a b c",
+    "unicode tést über straße tokens here",
+    "  leading and   multiple   spaces  ",
+]
+
+
+def test_fnv1a_bytes_matches_scalar():
+    toks = [t.encode("utf-8") for text in TEXTS for t in text.split()]
+    got = strhash.fnv1a_bytes(toks)
+    want = np.array([dedup.hash_str64(t.decode()) for t in toks], dtype=np.uint64)
+    assert (got == want).all()
+
+
+def test_fnv1a_empty_token_is_offset_basis():
+    assert strhash.fnv1a_bytes([b""])[0] == strhash.FNV_OFFSET
+
+
+def test_batch_token_hashes_offsets():
+    h, offs = strhash.batch_token_hashes(TEXTS)
+    counts = [len(t.split()) for t in TEXTS]
+    assert list(np.diff(offs)) == counts
+    assert h.size == sum(counts)
+
+
+def test_shingle_hashes_match_scalar():
+    h, offs = strhash.batch_token_hashes(TEXTS, min_tokens=3)
+    sh, sh_offs = strhash.shingle_hashes_flat(h, offs, k=3)
+    for i, text in enumerate(TEXTS):
+        want = dedup._shingle_hashes(text, 3)  # scalar path returns unique
+        got = np.unique(sh[sh_offs[i] : sh_offs[i + 1]])
+        assert (got == want).all(), text
+
+
+def test_batch_signatures_match_scalar():
+    sigs = dedup.batch_signatures(TEXTS)
+    for i, t in enumerate(TEXTS):
+        want = dedup.minhash_signature(dedup._shingle_hashes(t))
+        assert (sigs[i] == want).all(), t
