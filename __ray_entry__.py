@@ -52,6 +52,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polyline_encode": Q.q_polyline_encode,
         "simplify_masks": Q.q_simplify_masks,
         "cluster_city": Q.q_cluster_city,
+        "tile_pipeline": Q.q_tile_pipeline,
+        "tile_pipeline_salted": Q.q_tile_pipeline_salted,
+        # multimodal media (stub decode; real Arrow/actor plumbing)
+        "media_features": Q.q_media_features,
         # training-data pipeline ops
         "token_counts": Q.q_token_counts,
         "quality_scores": Q.q_quality_scores,
@@ -92,6 +96,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_cells": Q.SQL_LINEITEM_CELLS,
         "flagship": Q.SQL_FLAGSHIP,
         "spans_shape": Q.SQL_SPANS_SHAPE,
+        "media_features": Q.SQL_MEDIA_FEATURES,
         "token_counts": Q.SQL_TOKEN_COUNTS,
         "quality_scores": Q.SQL_QUALITY_SCORES,
         "stopword_hits": Q.SQL_STOPWORD_HITS,

@@ -965,3 +965,58 @@ SQL_EVENT_SESSIONS = """WITH d AS (
 )
 SELECT user_id, CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM d GROUP BY user_id"""
+
+
+# ---------------------------------------------------------------------------
+# tile-assembly pipeline (SURVEY.md §3.3; rows-only — payload is engine format)
+# ---------------------------------------------------------------------------
+
+
+def q_tile_pipeline(sf_dir: str):
+    """Full simplify -> encode -> tile-explode -> per-tile assembly pipeline
+    at z10 (reference flow: simplify_mask.h + polyline_format.h + tile.h)."""
+    from geo_ray.stages import tiling
+
+    ds = tiling.tile_pipeline(sf_dir, zoom=10)
+    return ds.select_columns(["tile_key", "tile_x", "tile_y", "n_lines"])
+
+
+def q_tile_pipeline_salted(sf_dir: str):
+    """Same pipeline with hot-tile salting enabled (threshold 8): output must
+    be identical to the unsalted run — the skew path is semantics-preserving."""
+    from geo_ray.stages import tiling
+
+    ds = tiling.tile_pipeline(sf_dir, zoom=10, salt_threshold=8)
+    return ds.select_columns(["tile_key", "tile_x", "tile_y", "n_lines"])
+
+
+# ---------------------------------------------------------------------------
+# multimodal media pipeline (stub decode backend; plumbing is real)
+# ---------------------------------------------------------------------------
+
+
+def q_media_features(sf_dir: str):
+    """Media spans -> binary payload fetch -> decode (header parse) ->
+    typed metadata. Decode runs as a map stage here; the actor-pool form
+    (`map_batches(MediaDecoder, concurrency=N)`) is pytest-covered."""
+    from geo_ray.stages import media
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = ds.map_batches(media.extract_media_spans, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(media.fetch_payloads, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(media.MediaDecoder(), batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(media.resize_plan, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.select_columns(
+        ["doc_id", "span_idx", "media_ref", "width", "height", "channels", "target_w", "target_h"]
+    )
+
+
+SQL_MEDIA_FEATURES = """SELECT doc_id,
+  CAST(1 AS INTEGER) AS span_idx,
+  'media://img/' || CAST(doc_id AS VARCHAR) AS media_ref,
+  64 + doc_id % 192 AS width,
+  64 + doc_id % 128 AS height,
+  1 + doc_id % 3 AS channels,
+  CAST(GREATEST(1, ROUND((64 + doc_id % 192) * LEAST(1.0, 128.0 / GREATEST(64 + doc_id % 192, 64 + doc_id % 128)))) AS BIGINT) AS target_w,
+  CAST(GREATEST(1, ROUND((64 + doc_id % 128) * LEAST(1.0, 128.0 / GREATEST(64 + doc_id % 192, 64 + doc_id % 128)))) AS BIGINT) AS target_h
+FROM documents WHERE doc_id % 3 = 0"""

@@ -1,0 +1,197 @@
+"""Tile-assembly pipeline stages (SURVEY.md §3.3).
+
+Reference flow (as motis `tiles` uses the library): geometry ->
+``make_simplify_mask`` (include/geo/simplify_mask.h:112-158) -> store mask;
+at assembly ``apply_simplify_mask`` (:257-270) -> ``encode_polyline``
+(include/geo/polyline_format.h:105-112) -> tile membership via
+``make_tile_range`` (include/geo/tile.h:162-172).
+
+Ray realization: the narrow ``map_batches`` stage does ALL per-line work
+(mask -> apply at zoom -> encode) so only (tile_key, line_id, encoded-string)
+rows enter the shuffle — raw geometry never moves. Assembly groups by a
+COARSE bucket of the tile key (map_groups per real tile would pay per-group
+Python overhead; within a bucket, tile runs are found vectorized). Dense
+tiles are handled by salting: rows of tiles whose partial count exceeds a
+threshold get a salt suffix in the bucket key, and the per-tile partial
+assemblies are merged in a second tiny pass.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from geo_ray.kernels import codec as codec_k
+from geo_ray.kernels import simplify as simp_k
+from geo_ray.kernels import tile as tile_k
+from geo_ray.sources import derive
+
+N_WALK = 24  # vertices per derived polyline (matches q_simplify_masks)
+
+
+def derive_walks(doc_ids: np.ndarray):
+    """Vectorized 24-vertex walk per doc (same formula as q_simplify_masks:
+    lat = lat0 + 0.001*sin(step*(d%7+1)), lng = lng0 + 0.001*cos(step*(d%5+1))).
+
+    Returns (lat2d, lng2d) of shape (n_docs, N_WALK).
+    """
+    d = np.asarray(doc_ids, dtype=np.int64)
+    lat0, lng0 = derive.point_coords(d, np.ones(d.size, dtype=np.int64))
+    steps = np.arange(N_WALK, dtype=np.float64)
+    lat = np.clip(lat0[:, None] + 0.001 * np.sin(steps[None, :] * (d % 7 + 1)[:, None]), -85.0, 85.0)
+    lng = lng0[:, None] + 0.001 * np.cos(steps[None, :] * (d % 5 + 1)[:, None])
+    return lat, lng
+
+
+def lines_to_tile_rows(batch: pa.Table, zoom: int = 10, precision: int = 5) -> pa.Table:
+    """documents(doc_id) -> one row per (covered tile, line):
+    (tile_key, tile_x, tile_y, doc_id, enc) with enc already simplified at
+    ``zoom`` and polyline-encoded. Mask + encode are per-line kernels; tile
+    cover explosion is the ragged bbox-range trick (tile.h:162-172 semantics).
+    """
+    doc_id = batch["doc_id"].to_numpy().astype(np.int64)
+    docs = doc_id[doc_id % 4 >= 1]
+    n = docs.size
+    if n == 0:
+        return pa.table(
+            {
+                "tile_key": pa.array([], pa.int64()),
+                "tile_x": pa.array([], pa.int64()),
+                "tile_y": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "enc": pa.array([], pa.string()),
+            }
+        )
+    lat, lng = derive_walks(docs)
+    encs = []
+    for i in range(n):  # per-line DP mask (simplify is inherently per-line)
+        masks = simp_k.make_simplify_mask(lat[i], lng[i])
+        keep = masks[min(zoom, len(masks) - 1)]
+        encs.append(codec_k.encode_polyline(lat[i][keep], lng[i][keep], precision))
+    # tile cover of each line's bbox at `zoom`
+    x0, y0, x1, y1 = tile_k.tile_range_of_box(
+        lat.min(axis=1), lng.min(axis=1), lat.max(axis=1), lng.max(axis=1), zoom
+    )
+    nx = (x1 - x0 + 1).astype(np.int64)
+    ny = (y1 - y0 + 1).astype(np.int64)
+    counts = nx * ny
+    total = int(counts.sum())
+    line_of = np.repeat(np.arange(n, dtype=np.int64), counts)
+    local = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(counts) - counts, counts)
+    tx = x0[line_of] + local % nx[line_of]
+    ty = y0[line_of] + local // nx[line_of]
+    key = tile_k.pack_key(tx, ty, np.full(total, zoom, dtype=np.int64))
+    enc_arr = pa.array(encs, type=pa.string()).take(pa.array(line_of))
+    return pa.table(
+        {
+            "tile_key": pa.array(key.astype(np.int64)),
+            "tile_x": pa.array(tx.astype(np.int64)),
+            "tile_y": pa.array(ty.astype(np.int64)),
+            "doc_id": pa.array(docs[line_of]),
+            "enc": enc_arr,
+        }
+    )
+
+
+def add_assembly_bucket(batch: pa.Table, n_buckets: int = 64, hot_keys=None, n_salt: int = 8) -> pa.Table:
+    """Coarse shuffle key for assembly: bucket = tile_key % n_buckets, with
+    SALTED buckets for known-hot tiles (hot rows spread over ``n_salt``
+    sub-buckets by doc_id so one dense urban tile doesn't serialize on one
+    reducer; partial assemblies are merged downstream)."""
+    key = batch["tile_key"].to_numpy()
+    bucket = (key % n_buckets).astype(np.int64)
+    if hot_keys is not None and len(hot_keys):
+        hot = np.isin(key, hot_keys)
+        salt = (batch["doc_id"].to_numpy() % n_salt).astype(np.int64)
+        bucket = np.where(hot, n_buckets + (key % n_buckets) * n_salt + salt, bucket)
+    return batch.append_column("bucket", pa.array(bucket))
+
+
+def assemble_bucket(group):
+    """map_groups over coarse buckets: one output row per tile —
+    (tile_key, tile_x, tile_y, n_lines, payload) where payload concatenates
+    the tile's encoded lines sorted by doc_id (deterministic)."""
+    import pandas as pd
+
+    key = group["tile_key"].to_numpy()
+    enc = group["enc"].to_numpy()
+    order = np.lexsort((enc, key))  # deterministic per-tile line order,
+    key = key[order]                # mergeable across salted partials
+    enc = enc[order]
+    tx = group["tile_x"].to_numpy()[order]
+    ty = group["tile_y"].to_numpy()[order]
+    starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+    ends = np.concatenate([starts[1:], [key.size]])
+    payloads = ["\n".join(enc[s:e]) for s, e in zip(starts, ends)]
+    return pd.DataFrame(
+        {
+            "tile_key": key[starts],
+            "tile_x": tx[starts],
+            "tile_y": ty[starts],
+            "n_lines": (ends - starts).astype(np.int64),
+            "payload": payloads,
+        }
+    )
+
+
+def merge_salted(group):
+    """Second-pass merge of per-salt partial tiles (same output schema)."""
+    import pandas as pd
+
+    g = group.sort_values("tile_key", kind="mergesort")
+    key = g["tile_key"].to_numpy()
+    starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+    ends = np.concatenate([starts, [key.size]])[1:] if starts.size else np.array([], dtype=np.int64)
+    pay = g["payload"].to_numpy()
+    # re-sort merged lines so the payload equals the unsalted assembly's
+    merged = [
+        "\n".join(sorted(line for p in pay[s:e] for line in p.split("\n")))
+        for s, e in zip(starts, ends)
+    ]
+    return pd.DataFrame(
+        {
+            "tile_key": key[starts],
+            "tile_x": g["tile_x"].to_numpy()[starts],
+            "tile_y": g["tile_y"].to_numpy()[starts],
+            "n_lines": np.add.reduceat(g["n_lines"].to_numpy(), starts),
+            "payload": merged,
+        }
+    )
+
+
+def tile_pipeline(sf_dir: str, zoom: int = 10, salt_threshold: int | None = None):
+    """Full §3.3 pipeline: docs -> per-line simplify+encode + tile explode ->
+    coarse-bucket shuffle -> per-tile assembly. With ``salt_threshold``, a
+    first sampling pass finds hot tiles and their rows are salted."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    rows = ds.map_batches(
+        lines_to_tile_rows, fn_kwargs={"zoom": zoom}, batch_format="pyarrow", zero_copy_batch=True
+    )
+    hot_keys = None
+    if salt_threshold is not None:
+        from geo_ray.stages import agg
+
+        def partial_counts(b: pa.Table) -> pa.Table:
+            u, c = np.unique(b["tile_key"].to_numpy(), return_counts=True)
+            return pa.table({"tile_key": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+        counts = agg.tree_sum(
+            rows.map_batches(partial_counts, batch_format="pyarrow"), "tile_key", "n"
+        ).to_pandas()
+        hot_keys = counts[counts["n"] >= salt_threshold]["tile_key"].to_numpy()
+    rows = rows.map_batches(
+        add_assembly_bucket, fn_kwargs={"hot_keys": hot_keys}, batch_format="pyarrow"
+    )
+    tiles = rows.groupby("bucket").map_groups(assemble_bucket, batch_format="pandas")
+    if salt_threshold is not None:
+        # merge per-salt partials: group by tile_key % 64 again (few rows now)
+        def rebucket(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "bucket2", pa.array((b["tile_key"].to_numpy() % 64).astype(np.int64))
+            )
+
+        tiles = tiles.map_batches(rebucket, batch_format="pyarrow")
+        tiles = tiles.groupby("bucket2").map_groups(merge_salted, batch_format="pandas")
+    return tiles

@@ -1,0 +1,69 @@
+"""Checkpoint-resume: manifest lineage, partial-partition cleanup, idempotence."""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from geo_ray.state.checkpoint import Fragment, run_resumable
+from geo_ray.state.manifest import Manifest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _fragments(n):
+    return [
+        Fragment(part_id=f"shard{s}", input_files=[f"{SF}/documents.parquet"], params={"shard": s})
+        for s in range(n)
+    ]
+
+
+def _build(frags):
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from flagship_job import build_unit
+
+    return build_unit(SF, 1)(frags)
+
+
+@pytest.fixture
+def out_dir(tmp_path):
+    return str(tmp_path / "out")
+
+
+def test_crash_then_resume_completes_all(ray_session, out_dir):
+    s1 = run_resumable(_fragments(4), _build, out_dir, unit_size=2, max_units=1)
+    assert s1["units"] == 1 and s1["completed_total"] == 2
+    s2 = run_resumable(_fragments(4), _build, out_dir, unit_size=2)
+    assert s2["skipped"] == 2 and s2["completed_total"] == 4
+    # every fragment exactly once in the manifest
+    entries = Manifest(os.path.join(out_dir, "_manifest.jsonl")).entries()
+    assert sorted(e["part_id"] for e in entries) == [f"shard{s}" for s in range(4)]
+    # lineage + metrics fields present
+    for e in entries:
+        assert e["input_fragments"] == [f"{SF}/documents.parquet"]
+        assert e["rows_out"] > 0 and e["kernel_version"]
+
+
+def test_partial_partition_cleaned_and_rerun(ray_session, out_dir):
+    run_resumable(_fragments(2), _build, out_dir, unit_size=2)
+    rows_before = pq.read_table(os.path.join(out_dir, "part_id=shard1")).num_rows
+    # simulate a crash that wrote partition files but never reached the
+    # manifest: drop shard1's manifest row, corrupt its directory
+    mpath = os.path.join(out_dir, "_manifest.jsonl")
+    lines = [l for l in open(mpath) if '"shard1"' not in l]
+    open(mpath, "w").writelines(lines)
+    shutil.rmtree(os.path.join(out_dir, "part_id=shard1"))
+    os.makedirs(os.path.join(out_dir, "part_id=shard1"))
+    s = run_resumable(_fragments(2), _build, out_dir, unit_size=2)
+    assert s["skipped"] == 1 and s["units"] == 1
+    rows_after = pq.read_table(os.path.join(out_dir, "part_id=shard1")).num_rows
+    assert rows_after == rows_before
+
+
+def test_resume_noop_when_done(ray_session, out_dir):
+    run_resumable(_fragments(2), _build, out_dir, unit_size=2)
+    s = run_resumable(_fragments(2), _build, out_dir, unit_size=2)
+    assert s["skipped"] == 2 and s["units"] == 0
