@@ -42,7 +42,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_counts": Q.q_tile_counts,
         "cell_ids": Q.q_cell_ids,
         "pip_join": Q.q_pip_join,
+        "pip_join_copart": Q.q_pip_join_copart,
         "knn_cities": Q.q_knn_cities,
+        "knn_copart": Q.q_knn_copart,
+        "poly_filter": Q.q_poly_filter,
+        "embed_dup_pairs": Q.q_embed_dup_pairs,
         "radius_cities": Q.q_radius_cities,
         "polyline_lengths": Q.q_polyline_lengths,
         "lineitem_cells": Q.q_lineitem_cells,
@@ -90,7 +94,11 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts": Q.SQL_TILE_COUNTS,
         "cell_ids": Q.SQL_CELL_IDS,
         "pip_join": Q.SQL_PIP_JOIN,
+        "pip_join_copart": Q.SQL_PIP_JOIN_COPART,
         "knn_cities": Q.SQL_KNN_CITIES,
+        "knn_copart": Q.SQL_KNN_COPART,
+        "poly_filter": Q.SQL_POLY_FILTER,
+        "embed_dup_pairs": Q.SQL_EMBED_DUP_PAIRS,
         "radius_cities": Q.SQL_RADIUS_CITIES,
         "polyline_lengths": Q.SQL_POLYLINE_LENGTHS,
         "lineitem_cells": Q.SQL_LINEITEM_CELLS,

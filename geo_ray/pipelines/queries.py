@@ -1020,3 +1020,85 @@ SQL_MEDIA_FEATURES = """SELECT doc_id,
   CAST(GREATEST(1, ROUND((64 + doc_id % 192) * LEAST(1.0, 128.0 / GREATEST(64 + doc_id % 192, 64 + doc_id % 128)))) AS BIGINT) AS target_w,
   CAST(GREATEST(1, ROUND((64 + doc_id % 128) * LEAST(1.0, 128.0 / GREATEST(64 + doc_id % 192, 64 + doc_id % 128)))) AS BIGINT) AS target_h
 FROM documents WHERE doc_id % 3 = 0"""
+
+
+def q_embed_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs (tau=0.4): brute-force GEMM per batch
+    against the broadcast normalized matrix; exact SQL-oracle twin."""
+    from geo_ray.stages import ann as ann_st
+
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = _rd().read_parquet(path, columns=["vec_id", "embedding"])
+    return ds.map_batches(
+        ann_st.CosineNearDup(tau=0.4, path=path), batch_format="pyarrow"
+    )
+
+
+SQL_EMBED_DUP_PAIRS = """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4"""
+
+
+# ---------------------------------------------------------------------------
+# co-partition (shuffle) join realizations — same oracles as the broadcast ones
+# ---------------------------------------------------------------------------
+
+
+def q_pip_join_copart(sf_dir: str):
+    """PIP join via the cell-keyed shuffle (large-polygon-set path); output
+    identical to the broadcast q_pip_join, same oracle."""
+    from geo_ray.stages import copartition as cp
+
+    return cp.pip_join_copartition(points_ds(sf_dir))
+
+
+SQL_PIP_JOIN_COPART = SQL_PIP_JOIN
+
+
+def q_knn_copart(sf_dir: str):
+    """k=5 per city via cell co-partition (radius-bounded, 50 km cover);
+    equals global kNN because every city's 5th neighbor is well inside 50 km."""
+    from geo_ray.stages import copartition as cp
+
+    qlat = np.array([c[0] for c in derive.CITIES])
+    qlng = np.array([c[1] for c in derive.CITIES])
+    out = cp.knn_copartition(points_ds(sf_dir), np.arange(8), qlat, qlng, k=5)
+    return out.map_batches(
+        lambda b: _round_cols(b, {"dist_m": 3}), batch_format="pyarrow"
+    ).select_columns(["query_id", "doc_id", "pt_idx", "dist_m"])
+
+
+SQL_KNN_COPART = SQL_KNN_CITIES
+
+
+def q_poly_filter(sf_dir: str):
+    """OSM .poly end-to-end: write the Berlin fixture ring in .poly format,
+    parse it back (src/polygon.cc:15-36 semantics), filter derived points
+    within the ring. Oracle = the same literal ring's PIP predicate."""
+    import os
+    import tempfile
+
+    from geo_ray.sources import poly_file
+    from geo_ray.kernels import pip as pip_k2
+
+    k, ring = derive.POLYGONS[0]
+    text = "poly-fixture\nsection1\n" + "".join(
+        f"   {lng!r}   {lat!r}\n" for lat, lng in ring
+    ) + "END\nEND\n"
+    path = os.path.join(tempfile.gettempdir(), "geo_ray_berlin.poly")
+    with open(path, "w") as f:
+        f.write(text)
+    r_lat, r_lng = poly_file.read_poly_file(path)
+
+    def stage(b: pa.Table) -> pa.Table:
+        inside = pip_k2.points_in_ring(b["lat"].to_numpy(), b["lng"].to_numpy(), r_lat, r_lng)
+        return b.filter(pa.array(inside)).select(["doc_id", "pt_idx"])
+
+    return points_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_POLY_FILTER = (
+    f"{POINTS_CTE} SELECT doc_id, pt_idx FROM points WHERE "
+    + derive.pip_sql_predicate(derive.POLYGONS[0][1])
+)

@@ -72,3 +72,48 @@ def ivf_assign(batch: pa.Table, n_centroids: int = 16) -> pa.Table:
     norms[norms == 0] = 1.0
     sim = (v / norms[:, None]) @ cn.T
     return batch.append_column("centroid_id", pa.array(np.argmax(sim, axis=1).astype(np.int64)))
+
+
+class CosineNearDup:
+    """Embedding-cosine near-duplicate pairs: each batch GEMMs against the
+    broadcast full normalized matrix and emits (vec_a < vec_b) pairs with
+    cos_sim >= tau. Broadcast once per actor/task (`matrix_ref` from
+    ``ray.put``, or built from the small parquet at ``path``); the brute-force
+    baseline of the near-dup family — the scale path buckets by IVF centroid
+    (``ivf_assign``) and runs this within buckets.
+    """
+
+    def __init__(self, tau: float = 0.4, matrix_ref=None, path: str | None = None):
+        self.tau = tau
+        if matrix_ref is not None:
+            import ray
+
+            ids, mat = ray.get(matrix_ref)
+        else:
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(path, columns=["vec_id", "embedding"])
+            ids = t["vec_id"].to_numpy()
+            mat = _embeddings_to_matrix(t["embedding"])
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = 1.0
+        self.ids = np.asarray(ids, dtype=np.int64)
+        self.mat = mat / norms[:, None]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = _embeddings_to_matrix(batch["embedding"])
+        norms = np.sqrt((v * v).sum(axis=1))
+        norms[norms == 0] = 1.0
+        cos = (v / norms[:, None]) @ self.mat.T  # (batch, all)
+        bid = batch["vec_id"].to_numpy().astype(np.int64)
+        keep = np.round(cos, 6) >= self.tau
+        # emit only (a < b) so each pair appears exactly once globally
+        keep &= bid[:, None] < self.ids[None, :]
+        r, c = np.nonzero(keep)
+        return pa.table(
+            {
+                "vec_a": pa.array(bid[r]),
+                "vec_b": pa.array(self.ids[c]),
+                "cos_sim": pa.array(np.round(cos[r, c], 6)),
+            }
+        )
