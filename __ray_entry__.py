@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_dup_pairs": Q.q_embed_dup_pairs,
         "radius_cities": Q.q_radius_cities,
         "polyline_lengths": Q.q_polyline_lengths,
+        "dist_to_polyline": Q.q_dist_to_polyline,
         "lineitem_cells": Q.q_lineitem_cells,
         "flagship": Q.q_flagship,
         "spans_shape": Q.q_spans_shape,
@@ -101,6 +102,7 @@ def oracle_sql() -> dict[str, str]:
         "embed_dup_pairs": Q.SQL_EMBED_DUP_PAIRS,
         "radius_cities": Q.SQL_RADIUS_CITIES,
         "polyline_lengths": Q.SQL_POLYLINE_LENGTHS,
+        "dist_to_polyline": Q.SQL_DIST_TO_POLYLINE,
         "lineitem_cells": Q.SQL_LINEITEM_CELLS,
         "flagship": Q.SQL_FLAGSHIP,
         "spans_shape": Q.SQL_SPANS_SHAPE,

@@ -65,6 +65,11 @@ def bench_queries(sf_dir: str):
         "minhash_pairs": lambda: Q.q_minhash_pairs(sf_dir),
         "ann_topk": lambda: Q.q_ann_topk(sf_dir),
         "event_sessions": lambda: Q.q_event_sessions(sf_dir),
+        "tile_pipeline": lambda: Q.q_tile_pipeline(sf_dir),
+        "pip_join_copart": lambda: Q.q_pip_join_copart(sf_dir),
+        "media_features": lambda: Q.q_media_features(sf_dir),
+        "embed_dup_pairs": lambda: Q.q_embed_dup_pairs(sf_dir),
+        "dist_to_polyline": lambda: Q.q_dist_to_polyline(sf_dir),
     }
 
 
@@ -107,7 +112,7 @@ def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows * REPLICATE
     t_flag = timings["flagship_pip_tile"]
     out = {
-        "metric": "wall seconds, flagship PIP-join+tile pipeline + 10 operator pipelines (sf parquet)",
+        "metric": "wall seconds, flagship PIP-join+tile pipeline + operator pipeline suite (sf parquet)",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,

@@ -1102,3 +1102,105 @@ SQL_POLY_FILTER = (
     f"{POINTS_CTE} SELECT doc_id, pt_idx FROM points WHERE "
     + derive.pip_sql_predicate(derive.POLYGONS[0][1])
 )
+
+
+# ---------------------------------------------------------------------------
+# distance-to-polyline (closest_on_segment, src/latlng.cc:111-146)
+# ---------------------------------------------------------------------------
+
+
+def q_dist_to_polyline(sf_dir: str):
+    """min distance (m) from Frankfurt to each doc's derived polyline
+    (>=2 points): per-segment closest_on_segment + haversine, min per doc.
+    Full candidate tuple (best point, segment idx) is pytest-covered;
+    the oracle pins the distance."""
+    def stage(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy().astype(np.int64)
+        keep = doc_id % 4 >= 2
+        docs = doc_id[keep]
+        if docs.size == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()), "dist_m": pa.array([], pa.float64())})
+        d_rep, pt_idx, lat, lng = derive.derive_points(docs)
+        offsets = np.concatenate([[0], np.cumsum(docs % 4)])
+        # all segments flat: (from=i, to=i+1) within each doc's run
+        n = lat.size
+        seg_from = np.ones(n, dtype=bool)
+        seg_from[offsets[1:] - 1] = False  # last point of each doc starts no segment
+        fi = np.flatnonzero(seg_from)
+        c_lat, c_lng = seg_k.closest_on_segment(
+            FRANKFURT[0], FRANKFURT[1], lat[fi], lng[fi], lat[fi + 1], lng[fi + 1]
+        )
+        d = dist_k.haversine(FRANKFURT[0], FRANKFURT[1], c_lat, c_lng)
+        seg_doc = d_rep[fi]
+        order = np.argsort(seg_doc, kind="mergesort")
+        sd, dd = seg_doc[order], d[order]
+        starts = np.flatnonzero(np.concatenate([[True], sd[1:] != sd[:-1]]))
+        return pa.table(
+            {
+                "doc_id": pa.array(sd[starts]),
+                "dist_m": pa.array(np.round(np.minimum.reduceat(dd, starts), 3)),
+            }
+        )
+
+    return points_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_dist_to_polyline() -> str:
+    eps = "1e-9"
+    R = "6378137.0"
+    plat, plng = FRANKFURT
+    mx = lambda lng: f"({R} * RADIANS({lng}))"
+    my = lambda lat: f"({R} * LN((1.0 + SIN(RADIANS(LEAST(GREATEST({lat}, -85.0511287798), 85.0511287798)))) / (1.0 - SIN(RADIANS(LEAST(GREATEST({lat}, -85.0511287798), 85.0511287798))))) / 2.0)"
+    inv_lat = lambda y: f"DEGREES(2.0 * ATAN(EXP(({y}) / {R})) - PI() / 2.0)"
+    inv_lng = lambda x: f"DEGREES(({x}) / {R})"
+    hav = sql_haversine(repr(plat), repr(plng), "clat", "clng")
+    return f"""{POINTS_CTE}, segs AS (
+  SELECT doc_id,
+         LAG(lat) OVER w AS flat, LAG(lng) OVER w AS flng,
+         lat AS tlat, lng AS tlng
+  FROM points WINDOW w AS (PARTITION BY doc_id ORDER BY pt_idx)
+), s2 AS (SELECT * FROM segs WHERE flat IS NOT NULL),
+m AS (
+  SELECT doc_id, flat, flng, tlat, tlng,
+         {mx(repr(plng))} AS xx, {my(repr(plat))} AS xy,
+         {mx('flng')} AS fx, {my('flat')} AS fy,
+         {mx('tlng')} AS tx, {my('tlat')} AS ty
+  FROM s2
+), g AS (
+  SELECT *, tx - fx AS sdx, ty - fy AS sdy,
+         SQRT((tx-fx)*(tx-fx) + (ty-fy)*(ty-fy)) AS slen,
+         xx - fx AS svx, xy - fy AS svy,
+         tx - xx AS evx, ty - xy AS evy
+  FROM m
+), a AS (
+  SELECT *, SQRT(svx*svx + svy*svy) AS svlen,
+         (sdx*svx + sdy*svy) / (slen * SQRT(svx*svx + svy*svy)) AS rel_s,
+         (sdx*evx + sdy*evy) / (slen * SQRT(evx*evx + evy*evy)) AS rel_e
+  FROM g
+), a2 AS (
+  SELECT *,
+    CASE WHEN rel_s >= 1.0 - {eps} THEN 0.0
+         WHEN rel_s <= -1.0 + {eps} THEN PI()
+         ELSE ACOS(LEAST(GREATEST(rel_s, -1.0), 1.0)) END AS sa,
+    CASE WHEN rel_e >= 1.0 - {eps} THEN 0.0
+         WHEN rel_e <= -1.0 + {eps} THEN PI()
+         ELSE ACOS(LEAST(GREATEST(rel_e, -1.0), 1.0)) END AS ea
+  FROM a
+), c AS (
+  SELECT doc_id,
+    CASE WHEN (ABS(xx-fx) < {eps} AND ABS(xy-fy) < {eps}) OR (ABS(xx-tx) < {eps} AND ABS(xy-ty) < {eps}) THEN {plat!r}
+         WHEN slen < {eps} THEN flat
+         WHEN sa >= PI()/2.0 THEN flat
+         WHEN ea >= PI()/2.0 THEN tlat
+         ELSE {inv_lat('fy + svlen * SIN(PI()/2.0 - sa) * sdy / slen')} END AS clat,
+    CASE WHEN (ABS(xx-fx) < {eps} AND ABS(xy-fy) < {eps}) OR (ABS(xx-tx) < {eps} AND ABS(xy-ty) < {eps}) THEN {plng!r}
+         WHEN slen < {eps} THEN flng
+         WHEN sa >= PI()/2.0 THEN flng
+         WHEN ea >= PI()/2.0 THEN tlng
+         ELSE {inv_lng('fx + svlen * SIN(PI()/2.0 - sa) * sdx / slen')} END AS clng
+  FROM a2
+)
+SELECT doc_id, ROUND(MIN({hav}), 3) AS dist_m FROM c GROUP BY doc_id"""
+
+
+SQL_DIST_TO_POLYLINE = _sql_dist_to_polyline()
