@@ -113,3 +113,32 @@ def test_replicate_docs_distinct_geometry(ray_data):
     ids = out["doc_id"].to_numpy()
     assert len(set(ids.tolist())) == 6
     assert (ids[:2] == [1, 2]).all()
+
+
+def test_fused_flagship_matches_staged(ray_session):
+    from geo_ray.pipelines import flagship as fl
+
+    staged = (
+        fl.flagship("/root/testdata/sf0.001")
+        .select_columns(["doc_id", "pt_idx", "area_id", "tile_x", "tile_y"])
+        .to_pandas()
+        .sort_values(["doc_id", "pt_idx", "area_id"])
+        .reset_index(drop=True)
+    )
+    fused = (
+        fl.flagship_fused("/root/testdata/sf0.001")
+        .select_columns(["doc_id", "pt_idx", "area_id", "tile_x", "tile_y"])
+        .to_pandas()
+        .sort_values(["doc_id", "pt_idx", "area_id"])
+        .reset_index(drop=True)
+    )
+    assert staged.equals(fused)
+
+
+def test_sharded_read_matches_replicate(ray_session):
+    from geo_ray.pipelines import flagship as fl
+
+    a = sorted(fl.doc_ids_dataset("/root/testdata/sf0.001", 1).to_pandas()["doc_id"])
+    b = sorted(fl.doc_ids_dataset("/root/testdata/sf0.001", 4).to_pandas()["doc_id"])
+    assert len(b) == 4 * len(a)
+    assert b[: len(a)] == a  # shard 0 is the original corpus
