@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polyline_encode": Q.q_polyline_encode,
         "simplify_masks": Q.q_simplify_masks,
         "cluster_city": Q.q_cluster_city,
+        "cluster_copart": Q.q_cluster_copart,
         "tile_pipeline": Q.q_tile_pipeline,
         "tile_pipeline_salted": Q.q_tile_pipeline_salted,
         # multimodal media (stub decode; real Arrow/actor plumbing)

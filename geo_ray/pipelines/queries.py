@@ -1204,3 +1204,17 @@ SELECT doc_id, ROUND(MIN({hav}), 3) AS dist_m FROM c GROUP BY doc_id"""
 
 
 SQL_DIST_TO_POLYLINE = _sql_dist_to_polyline()
+
+
+def q_cluster_copart(sf_dir: str):
+    """Distributed cluster_nearby (cell halo + union-find + per-component CL,
+    stages/cluster_copart.py) over all derived points; output partition is
+    exactly the sequential reference algorithm's (pytest-pinned)."""
+    from geo_ray.stages import cluster_copart as cc
+
+    def add_gid(b: pa.Table) -> pa.Table:
+        gid = b["doc_id"].to_numpy().astype(np.int64) * 8 + b["pt_idx"].to_numpy().astype(np.int64)
+        return b.append_column("gid", pa.array(gid))
+
+    pts = points_ds(sf_dir).map_batches(add_gid, batch_format="pyarrow", zero_copy_batch=True)
+    return cc.cluster_copartition(pts, max_dist=2000.0)

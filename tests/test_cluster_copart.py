@@ -1,0 +1,40 @@
+"""Distributed clustering == sequential reference algorithm (partition-exact)."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from geo_ray.kernels import cluster as cluster_k
+from geo_ray.sources import derive
+
+SF = "/root/testdata/sf0.001"
+
+
+def _global_partition(gid, lat, lng, max_dist=2000.0):
+    """Sequential cluster_nearby canonicalized: gid -> min gid of cluster."""
+    order = np.argsort(gid, kind="mergesort")
+    g, la, ln = gid[order], lat[order], lng[order]
+    labels = cluster_k.cluster_nearby(la, ln, max_dist)
+    rep = np.empty(g.size, dtype=np.int64)
+    for lbl in np.unique(labels):
+        m = labels == lbl
+        rep[m] = g[m].min()
+    return dict(zip(g.tolist(), rep.tolist()))
+
+
+def test_cluster_copart_matches_sequential(ray_session):
+    from geo_ray.pipelines import queries as Q
+
+    out = Q.q_cluster_copart(SF).to_pandas()
+    got = dict(zip(out["gid"].astype(np.int64), out["cluster_rep"].astype(np.int64)))
+
+    doc = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
+    d_rep, pt_idx, lat, lng = derive.derive_points(np.sort(doc.astype(np.int64)))
+    gid = d_rep * 8 + pt_idx
+    want = _global_partition(gid, lat, lng)
+
+    assert len(got) == len(want)
+    assert got == want
+    # sanity: clustering is non-trivial on this data
+    n_clustered = sum(1 for g, r in want.items() if sum(1 for x in want.values() if x == r) > 1)
+    assert n_clustered > 10
