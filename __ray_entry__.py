@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xyz_chord": Q.q_xyz_chord,
         "box_contains": Q.q_box_contains,
         "box_envelope": Q.q_box_envelope,
+        "box_buffered": Q.q_box_buffered,
         "merc_points": Q.q_merc_points,
         "tile_assign": Q.q_tile_assign,
         "tile_counts": Q.q_tile_counts,
@@ -64,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": Q.q_media_features,
         # training-data pipeline ops
         "token_counts": Q.q_token_counts,
+        "token_counts_bpe": Q.q_token_counts_bpe,
         "quality_scores": Q.q_quality_scores,
         "stopword_hits": Q.q_stopword_hits,
         "lang_id": Q.q_lang_id,
@@ -74,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dup_groups": Q.q_ngram_dup_groups,
         "ann_topk": Q.q_ann_topk,
         "ivf_counts": Q.q_ivf_counts,
+        "ivf_topk": Q.q_ivf_topk,
         "event_hourly": Q.q_event_hourly,
         "event_sessions": Q.q_event_sessions,
     }
@@ -91,6 +94,7 @@ def oracle_sql() -> dict[str, str]:
         "xyz_chord": Q.SQL_XYZ_CHORD,
         "box_contains": Q.SQL_BOX_CONTAINS,
         "box_envelope": Q.SQL_BOX_ENVELOPE,
+        "box_buffered": Q.SQL_BOX_BUFFERED,
         "merc_points": Q.SQL_MERC_POINTS,
         "tile_assign": Q.SQL_TILE_ASSIGN,
         "tile_counts": Q.SQL_TILE_COUNTS,
@@ -109,11 +113,13 @@ def oracle_sql() -> dict[str, str]:
         "spans_shape": Q.SQL_SPANS_SHAPE,
         "media_features": Q.SQL_MEDIA_FEATURES,
         "token_counts": Q.SQL_TOKEN_COUNTS,
+        "token_counts_bpe": Q.SQL_TOKEN_COUNTS_BPE,
         "quality_scores": Q.SQL_QUALITY_SCORES,
         "stopword_hits": Q.SQL_STOPWORD_HITS,
         "lang_id": Q.SQL_LANG_ID,
         "exact_dedup": Q.SQL_EXACT_DEDUP,
         "ann_topk": Q.SQL_ANN_TOPK,
+        "ivf_topk": Q.SQL_IVF_TOPK,
         "event_hourly": Q.SQL_EVENT_HOURLY,
         "event_sessions": Q.SQL_EVENT_SESSIONS,
     }

@@ -1218,3 +1218,113 @@ def q_cluster_copart(sf_dir: str):
 
     pts = points_ds(sf_dir).map_batches(add_gid, batch_format="pyarrow", zero_copy_batch=True)
     return cc.cluster_copartition(pts, max_dist=2000.0)
+
+
+def q_ivf_topk(sf_dir: str):
+    """IVF-probed cosine top-10 (nprobe=4 of 16 centroids) — the ANN scale
+    path, oracle-checked: probe plan and centroid assignment are
+    deterministic so the result is exactly reproducible in SQL."""
+    from geo_ray.stages import ann as ann_st
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = ds.map_batches(ann_st.IvfTopK(8, 10), batch_format="pyarrow")
+    return ds.groupby("query_id").map_groups(
+        lambda g: ann_st.finish_ann_topk(g, 10), batch_format="pandas"
+    )
+
+
+def _sql_centroid_vec(cid: int) -> str:
+    from geo_ray.stages.ann import query_matrix
+
+    vals = query_matrix(16)[cid]
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
+
+
+def _sql_ivf_topk() -> str:
+    from geo_ray.stages.ann import probe_centroids
+
+    probe = probe_centroids(8, 16, 4)
+    cent_rel = " UNION ALL ".join(
+        f"SELECT {cid} AS centroid_id, {_sql_centroid_vec(cid)} AS cvec" for cid in range(16)
+    )
+    assign = f"""assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+                      c.centroid_id
+           ) AS rnk
+    FROM embeddings e, ({cent_rel}) c
+  ) WHERE rnk = 1
+)"""
+    per_query = "\nUNION ALL\n".join(
+        f"""SELECT query_id, vec_id, cos_sim FROM (
+  SELECT {qid} AS query_id, vec_id,
+         ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_sql_query_vec(qid)}), 6) AS cos_sim,
+         list_cosine_similarity(CAST(embedding AS DOUBLE[]), {_sql_query_vec(qid)}) AS raw
+  FROM assigned WHERE centroid_id IN ({", ".join(str(c) for c in probe[qid])})
+  QUALIFY ROW_NUMBER() OVER (ORDER BY raw DESC, vec_id) <= 10
+)"""
+        for qid in range(8)
+    )
+    return f"WITH {assign}\n{per_query}"
+
+
+SQL_IVF_TOPK = _sql_ivf_topk()
+
+
+def q_box_buffered(sf_dir: str):
+    """Strict containment in the Frankfurt box buffered by 500 km
+    (box::extend(dist_in_m) meter scaling box.h:50-70 + strict contains
+    box.h:72-75)."""
+    from geo_ray.kernels import box as box_k
+
+    b0 = (FRANKFURT[0] - 0.5, FRANKFURT[1] - 0.5, FRANKFURT[0] + 0.5, FRANKFURT[1] + 0.5)
+    blat0, blng0, blat1, blng1 = box_k.extend_meters(*b0, 500000.0)
+
+    def stage(b: pa.Table) -> pa.Table:
+        lat = b["lat"].to_numpy()
+        lng = b["lng"].to_numpy()
+        inside = box_k.contains_point(blat0, blng0, blat1, blng1, lat, lng)
+        return b.filter(pa.array(inside)).select(["doc_id", "pt_idx"])
+
+    return points_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_box_buffered() -> str:
+    lat0, lng0 = FRANKFURT[0] - 0.5, FRANKFURT[1] - 0.5
+    lat1, lng1 = FRANKFURT[0] + 0.5, FRANKFURT[1] + 0.5
+    d = 500000.0
+    return f"""{POINTS_CTE}, buf AS (
+  SELECT {lat0!r} - {d!r} / 111000.0 AS blat0,
+         {lat1!r} + {d!r} / 111000.0 AS blat1
+), buf2 AS (
+  SELECT blat0, blat1,
+         {lng0!r} - ABS({d!r} / (111200.0 * COS(RADIANS(blat0)))) AS blng0,
+         {lng1!r} + ABS({d!r} / (111200.0 * COS(RADIANS(blat1)))) AS blng1
+  FROM buf
+)
+SELECT doc_id, pt_idx FROM points, buf2
+WHERE lat > blat0 AND lat < blat1 AND lng > blng0 AND lng < blng1"""
+
+
+SQL_BOX_BUFFERED = _sql_box_buffered()
+
+
+def q_token_counts_bpe(sf_dir: str):
+    """BPE-ish tokenization count: ASCII word runs or single non-space
+    symbols ([A-Za-z0-9_]+|[^\\sA-Za-z0-9_]) — RE2 on both sides."""
+    pattern = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
+
+    def stage(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(b["text"], pattern)
+        return pa.table({"doc_id": b["doc_id"], "n_bpe_tokens": pc.cast(n, pa.int64())})
+
+    return _docs_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_TOKEN_COUNTS_BPE = (
+    r"SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]')) AS BIGINT)"
+    r" AS n_bpe_tokens FROM documents"
+)

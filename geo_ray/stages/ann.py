@@ -117,3 +117,66 @@ class CosineNearDup:
                 "cos_sim": pa.array(np.round(cos[r, c], 6)),
             }
         )
+
+
+def probe_centroids(n_queries: int = 8, n_centroids: int = 16, nprobe: int = 4) -> np.ndarray:
+    """(n_queries, nprobe) centroid ids each query probes (cosine-nearest,
+    ties by lower centroid id) — the IVF probe plan, computable identically
+    in SQL since both centroids and query vectors are deterministic."""
+    q = query_matrix(n_queries)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    c = query_matrix(n_centroids)
+    cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+    sim = qn @ cn.T
+    order = np.argsort(-sim, axis=1, kind="stable")
+    return order[:, :nprobe].astype(np.int64)
+
+
+class IvfTopK:
+    """IVF-probed cosine top-k: each batch assigns vectors to centroids
+    (ivf_assign math) and scores ONLY the vectors whose centroid is in the
+    query's probe set — the scale path that avoids scanning the full corpus.
+    Emits per-batch partials; finish with groupby(query_id) top-k."""
+
+    def __init__(self, n_queries: int = 8, k: int = 10, n_centroids: int = 16, nprobe: int = 4):
+        self.q = query_matrix(n_queries)
+        self.qn = self.q / np.linalg.norm(self.q, axis=1, keepdims=True)
+        cents = query_matrix(n_centroids)
+        self.cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        self.k = k
+        self.probe = probe_centroids(n_queries, n_centroids, nprobe)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        v = _embeddings_to_matrix(batch["embedding"])
+        norms = np.sqrt((v * v).sum(axis=1))
+        norms[norms == 0] = 1.0
+        vn = v / norms[:, None]
+        cent = np.argmax(vn @ self.cn.T, axis=1)
+        vec_ids = batch["vec_id"].to_numpy()
+        out_q, out_v, out_s = [], [], []
+        for qid in range(self.qn.shape[0]):
+            m = np.isin(cent, self.probe[qid])
+            if not m.any():
+                continue
+            idx = np.flatnonzero(m)
+            cos = vn[idx] @ self.qn[qid]
+            kk = min(self.k, idx.size)
+            top = np.argpartition(-cos, kk - 1)[:kk] if kk < idx.size else np.arange(idx.size)
+            out_q.append(np.full(top.size, qid, dtype=np.int64))
+            out_v.append(vec_ids[idx[top]])
+            out_s.append(cos[top])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cos_sim": pa.array(np.concatenate(out_s)),
+            }
+        )
