@@ -79,16 +79,33 @@ def batch_signatures(texts: list[str], k: int = 3) -> np.ndarray:
     if n == 0:
         return np.zeros((0, N_HASH), dtype=np.uint64)
     s = sh.astype(np.uint64) & _MERSENNE
-    # row loop with fully in-place ops, not a broadcast outer product:
-    # NumPy's uint64 broadcast path is ~40x slower, and per-iteration
-    # temporaries trigger pathological allocator behavior on first call
-    # (7.5s vs 0.07s for this matrix) — write straight into vals[j].
-    vals = np.empty((N_HASH, s.size), dtype=np.uint64)
+    # Chunked by document ranges so the (N_HASH x chunk) universal-hash
+    # matrix stays L3-resident (~4 MB) instead of streaming a 64 x n_shingles
+    # slab through DRAM — the full-batch slab made concurrent workers
+    # bandwidth-bound. Row loop with in-place ops, not a broadcast outer
+    # product: NumPy's uint64 broadcast path is ~40x slower, and large
+    # per-iteration temporaries hit an allocator cliff on first call.
+    out = np.empty((n, N_HASH), dtype=np.uint64)
+    chunk_target = 8192  # shingles per chunk
+    vals = np.empty((N_HASH, chunk_target + 4096), dtype=np.uint64)
+    d0 = 0
     with np.errstate(over="ignore"):
-        for j in range(N_HASH):
-            np.multiply(s, a[j], out=vals[j])
-            np.add(vals[j], b[j], out=vals[j])
-    return np.minimum.reduceat(vals, sh_offs[:-1], axis=1).T.copy()
+        while d0 < n:
+            d1 = d0 + 1
+            while d1 < n and sh_offs[d1 + 1] - sh_offs[d0] <= chunk_target:
+                d1 += 1
+            lo, hi = int(sh_offs[d0]), int(sh_offs[d1])
+            w = hi - lo
+            sc = s[lo:hi]
+            if w > vals.shape[1]:  # single huge document
+                vals = np.empty((N_HASH, w), dtype=np.uint64)
+            v = vals[:, :w]
+            for j in range(N_HASH):
+                np.multiply(sc, a[j], out=v[j])
+                np.add(v[j], b[j], out=v[j])
+            out[d0:d1] = np.minimum.reduceat(v, sh_offs[d0:d1] - lo, axis=1).T
+            d0 = d1
+    return out
 
 
 def minhash_bands(batch: pa.Table) -> pa.Table:
