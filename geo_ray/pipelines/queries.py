@@ -431,7 +431,9 @@ def q_polyline_lengths(sf_dir: str):
 
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    # single-row-group file -> one block; split so the per-line DP/encode
+    # work parallelizes (repartition of 5k ids is microseconds)
+    return ds.repartition(64).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
 
 SQL_POLYLINE_LENGTHS = f"""{POINTS_CTE}, segs AS (
@@ -631,7 +633,9 @@ def q_polyline_encode(sf_dir: str):
 
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    # single-row-group file -> one block; split so the per-line DP/encode
+    # work parallelizes (repartition of 5k ids is microseconds)
+    return ds.repartition(64).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_simplify_masks(sf_dir: str):
@@ -640,16 +644,15 @@ def q_simplify_masks(sf_dir: str):
     from geo_ray.kernels import simplify as simp_k
 
     def stage(b: pa.Table) -> pa.Table:
+        from geo_ray.stages.tiling import derive_walks
+
         doc_id = b["doc_id"].to_numpy().astype(np.int64)
         keep = doc_id % 4 >= 1
         docs = doc_id[keep]
+        lat2d, lng2d = derive_walks(docs)  # vectorized walk generation
         out = {"doc_id": [], "n_vertices": [], "n_kept_z0": [], "n_kept_z10": [], "mask_bytes": []}
-        for d in docs:
-            lat0, lng0 = derive.point_coords(np.array([d]), np.array([1]))
-            steps = np.arange(24)
-            lat = np.clip(lat0[0] + 0.001 * np.sin(steps * (d % 7 + 1)), -85.0, 85.0)
-            lng = lng0[0] + 0.001 * np.cos(steps * (d % 5 + 1))
-            masks = simp_k.make_simplify_mask(lat, lng)
+        for i, d in enumerate(docs):
+            masks = simp_k.make_simplify_mask(lat2d[i], lng2d[i])
             blob = simp_k.serialize_simplify_mask(masks)
             out["doc_id"].append(int(d))
             out["n_vertices"].append(24)
@@ -668,7 +671,9 @@ def q_simplify_masks(sf_dir: str):
 
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+    # single-row-group file -> one block; split so the per-line DP/encode
+    # work parallelizes (repartition of 5k ids is microseconds)
+    return ds.repartition(64).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def q_cluster_city(sf_dir: str):

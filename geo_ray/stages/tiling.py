@@ -165,7 +165,7 @@ def tile_pipeline(sf_dir: str, zoom: int = 10, salt_threshold: int | None = None
     first sampling pass finds hot tiles and their rows are salted."""
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"]).repartition(64)
     rows = ds.map_batches(
         lines_to_tile_rows, fn_kwargs={"zoom": zoom}, batch_format="pyarrow", zero_copy_batch=True
     )
