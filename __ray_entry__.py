@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_counts": Q.q_ivf_counts,
         "ivf_topk": Q.q_ivf_topk,
         "event_hourly": Q.q_event_hourly,
+        "revenue_by_nation": Q.q_revenue_by_nation,
+        "priority_order_stats": Q.q_priority_order_stats,
         "event_sessions": Q.q_event_sessions,
     }
 
@@ -121,5 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": Q.SQL_ANN_TOPK,
         "ivf_topk": Q.SQL_IVF_TOPK,
         "event_hourly": Q.SQL_EVENT_HOURLY,
+        "revenue_by_nation": Q.SQL_REVENUE_BY_NATION,
+        "priority_order_stats": Q.SQL_PRIORITY_ORDER_STATS,
         "event_sessions": Q.SQL_EVENT_SESSIONS,
     }

@@ -1333,3 +1333,132 @@ SQL_TOKEN_COUNTS_BPE = (
     r"SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]')) AS BIGINT)"
     r" AS n_bpe_tokens FROM documents"
 )
+
+
+# ---------------------------------------------------------------------------
+# broadcast dimension joins + exact-integer aggregation (engine generality)
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """lineitem ⨝ orders ⨝ customer ⨝ nation, revenue per nation — broadcast
+    hash joins (dimension sides read once per task) + per-batch partial sums
+    in EXACT integer cents*cents (no float accumulation-order hazard) + tree
+    combine over the bounded nation domain."""
+    from geo_ray.stages import agg
+    from geo_ray.stages.join import BroadcastHashJoin
+
+    def partial(b: pa.Table) -> pa.Table:
+        price_c = np.rint(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.rint((1.0 - b["l_discount"].to_numpy()) * 100).astype(np.int64)
+        rev = price_c * disc_c  # exact integer 1e-4 units
+        nk = b["n_nationkey"].to_numpy().astype(np.int64)
+        order = np.argsort(nk, kind="mergesort")
+        u, starts = np.unique(nk[order], return_index=True)
+        return pa.table(
+            {"n_nationkey": pa.array(u), "rev_partial": pa.array(np.add.reduceat(rev[order], starts))}
+        )
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    ds = ds.map_batches(
+        BroadcastHashJoin("o_orderkey", path=f"{sf_dir}/orders.parquet", columns=["o_custkey"], probe_key="l_orderkey"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ds = ds.map_batches(
+        BroadcastHashJoin("c_custkey", path=f"{sf_dir}/customer.parquet", columns=["c_nationkey"], probe_key="o_custkey"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # nation is keyed by c_nationkey = n_nationkey; the 25-row name lookup
+    # happens once at finish — no need to ship n_name per lineitem row
+    def rename(b: pa.Table) -> pa.Table:
+        return b.append_column("n_nationkey", b["c_nationkey"])
+
+    ds = ds.map_batches(rename, batch_format="pyarrow")
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    ds = agg.tree_sum(ds, "n_nationkey", "rev_partial")
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        nation = pq.read_table(f"{sf_dir}/nation.parquet")
+        nk = nation["n_nationkey"].to_numpy().astype(np.int64)
+        names = nation["n_name"].to_numpy(zero_copy_only=False)
+        lut = dict(zip(nk.tolist(), names.tolist()))
+        keys = b["n_nationkey"].to_numpy()
+        rev = b["rev_partial"].to_numpy() / 10000.0
+        return pa.table(
+            {
+                "n_name": pa.array([lut[int(k)] for k in keys]),
+                "revenue": pa.array(np.round(rev, 2)),
+            }
+        )
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_REVENUE_BY_NATION = """SELECT n.n_name,
+  ROUND(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+            * CAST(ROUND((1.0 - l.l_discount) * 100) AS BIGINT)) / 10000.0, 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name"""
+
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def q_priority_order_stats(sf_dir: str):
+    """Order count + exact total-price (integer cents) per order priority:
+    per-batch partial aggregate over the tiny bounded priority domain + tree
+    combine; no sort shuffle."""
+    from geo_ray.stages import agg
+
+    def partial(b: pa.Table) -> pa.Table:
+        pr = b["o_orderpriority"].to_numpy(zero_copy_only=False)
+        cents = np.rint(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        key = np.searchsorted(np.array(sorted(PRIORITIES)), pr)
+        n_p = np.bincount(key, minlength=5).astype(np.int64)
+        s_p = np.zeros(5, dtype=np.int64)
+        np.add.at(s_p, key, cents)
+        # pack (count, cents) into one combinable value pair via two rows
+        return pa.table(
+            {
+                "pkey": pa.array(np.concatenate([np.arange(5), np.arange(5) + 16])),
+                "v_partial": pa.array(np.concatenate([n_p, s_p])),
+            }
+        )
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"])
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    ds = agg.tree_sum(ds, "pkey", "v_partial")
+
+    def finish(b: pa.Table) -> pa.Table:
+        k = b["pkey"].to_numpy()
+        v = b["v_partial"].to_numpy()
+        names = np.array(sorted(PRIORITIES))
+        counts = {int(kk): int(vv) for kk, vv in zip(k, v) if kk < 16}
+        cents = {int(kk) - 16: int(vv) for kk, vv in zip(k, v) if kk >= 16}
+        idx = sorted(counts)
+        return pa.table(
+            {
+                "o_orderpriority": pa.array([str(names[i]) for i in idx]),
+                "n_orders": pa.array([counts[i] for i in idx], pa.int64()),
+                "total_price": pa.array([round(cents.get(i, 0) / 100.0, 2) for i in idx]),
+            }
+        )
+
+    return ds.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_PRIORITY_ORDER_STATS = """SELECT o_orderpriority,
+  COUNT(*) AS n_orders,
+  ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total_price
+FROM orders GROUP BY o_orderpriority"""

@@ -1,0 +1,44 @@
+"""Broadcast hash join: vectorized probe, dimension semantics."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geo_ray.stages.join import BroadcastHashJoin
+
+
+def _build(tmp_path, rows):
+    import pyarrow.parquet as pq
+
+    path = str(tmp_path / "dim.parquet")
+    pq.write_table(pa.table(rows), path)
+    return path
+
+
+def test_inner_join_matches(tmp_path):
+    path = _build(tmp_path, {"k": pa.array([10, 20, 30], pa.int64()), "name": ["a", "b", "c"]})
+    j = BroadcastHashJoin("k", path=path)
+    probe = pa.table({"k": pa.array([20, 99, 10, 30, 20], pa.int64()), "v": [1, 2, 3, 4, 5]})
+    out = j(probe)
+    assert out["k"].to_pylist() == [20, 10, 30, 20]  # 99 dropped (inner)
+    assert out["name"].to_pylist() == ["b", "a", "c", "b"]
+    assert out["v"].to_pylist() == [1, 3, 4, 5]
+
+
+def test_probe_key_rename(tmp_path):
+    path = _build(tmp_path, {"k": pa.array([1, 2], pa.int64()), "x": [10, 20]})
+    j = BroadcastHashJoin("k", path=path, probe_key="fk")
+    out = j(pa.table({"fk": pa.array([2, 1], pa.int64())}))
+    assert out["x"].to_pylist() == [20, 10]
+
+
+def test_duplicate_build_keys_rejected(tmp_path):
+    path = _build(tmp_path, {"k": pa.array([1, 1], pa.int64()), "x": [1, 2]})
+    with pytest.raises(ValueError, match="duplicate"):
+        BroadcastHashJoin("k", path=path)
+
+
+def test_empty_probe(tmp_path):
+    path = _build(tmp_path, {"k": pa.array([1], pa.int64()), "x": [9]})
+    out = BroadcastHashJoin("k", path=path)(pa.table({"k": pa.array([], pa.int64())}))
+    assert out.num_rows == 0 and "x" in out.column_names
