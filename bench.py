@@ -124,6 +124,8 @@ def bench_queries(sf_dir: str):
         "media_features": lambda: Q.q_media_features(sf_dir),
         "embed_dup_pairs": lambda: Q.q_embed_dup_pairs(sf_dir),
         "dist_to_polyline": lambda: Q.q_dist_to_polyline(sf_dir),
+        "revenue_by_nation": lambda: Q.q_revenue_by_nation(sf_dir),
+        "cluster_copart": lambda: Q.q_cluster_copart(sf_dir),
     }
 
 
