@@ -117,10 +117,34 @@ def polygon_side_table(polygons=None, zoom: int = 8) -> pa.Table:
     )
 
 
-def add_bucket(batch: pa.Table) -> pa.Table:
-    return batch.append_column(
-        "bucket", pa.array((batch["cell"].to_numpy() % N_BUCKETS).astype(np.int64))
+def add_bucket(batch: pa.Table, hot_cells=None, n_salt: int = 8) -> pa.Table:
+    """Coarse shuffle key, with SALT for known-hot cells: point rows of a hot
+    cell spread over ``n_salt`` sub-buckets by doc_id, while BUILD rows
+    (polygons/probes) are replicated to every salt so each sub-bucket still
+    sees the full candidate set — results are identical to unsalted, one
+    dense urban cell no longer serializes on one reducer."""
+    cell = batch["cell"].to_numpy()
+    side = batch["side"].to_numpy()
+    bucket = (cell % N_BUCKETS).astype(np.int64)
+    if hot_cells is None or len(hot_cells) == 0:
+        return batch.append_column("bucket", pa.array(bucket))
+    hot = np.isin(cell, hot_cells)
+    salt_base = N_BUCKETS + (cell % N_BUCKETS) * n_salt
+    pt_salt = (batch["doc_id"].to_numpy() % n_salt).astype(np.int64)
+    is_pt = side == POINT_SIDE
+    out_rows = [np.flatnonzero(~hot)]
+    out_buckets = [bucket[~hot]]
+    hp = np.flatnonzero(hot & is_pt)
+    out_rows.append(hp)
+    out_buckets.append(salt_base[hp] + pt_salt[hp])
+    hb = np.flatnonzero(hot & ~is_pt)  # build rows: replicate across salts
+    out_rows.append(np.repeat(hb, n_salt))
+    out_buckets.append(
+        np.repeat(salt_base[hb], n_salt) + np.tile(np.arange(n_salt, dtype=np.int64), hb.size)
     )
+    idx = np.concatenate(out_rows)
+    out = batch.take(pa.array(idx))
+    return out.append_column("bucket", pa.array(np.concatenate(out_buckets)))
 
 
 def pip_refine_bucket(group):
@@ -164,16 +188,32 @@ def pip_refine_bucket(group):
     )
 
 
-def pip_join_copartition(points_ds, polygons=None, zoom: int = 8):
+def pip_join_copartition(points_ds, polygons=None, zoom: int = 8, salt_threshold: int | None = None):
     """points Dataset (doc_id, pt_idx, lat, lng) -> (doc_id, pt_idx, area_id)
-    via the cell-keyed shuffle join."""
+    via the cell-keyed shuffle join. With ``salt_threshold``, a sampling pass
+    counts points per cell and rows of cells at/above the threshold are
+    salt-split (build side replicated per salt) — output is identical."""
     import ray.data as rd
 
     tagged = points_ds.map_batches(
         tag_points, fn_kwargs={"zoom": zoom}, batch_format="pyarrow", zero_copy_batch=True
     )
+    hot_cells = None
+    if salt_threshold is not None:
+        from geo_ray.stages import agg
+
+        def partial_counts(b: pa.Table) -> pa.Table:
+            u, c = np.unique(b["cell"].to_numpy(), return_counts=True)
+            return pa.table({"cell": pa.array(u), "n": pa.array(c.astype(np.int64))})
+
+        counts = agg.tree_sum(
+            tagged.map_batches(partial_counts, batch_format="pyarrow"), "cell", "n"
+        ).to_pandas()
+        hot_cells = counts[counts["n"] >= salt_threshold]["cell"].to_numpy()
     build = rd.from_arrow(polygon_side_table(polygons, zoom))
-    both = tagged.union(build).map_batches(add_bucket, batch_format="pyarrow")
+    both = tagged.union(build).map_batches(
+        add_bucket, fn_kwargs={"hot_cells": hot_cells}, batch_format="pyarrow"
+    )
     return both.groupby("bucket").map_groups(pip_refine_bucket, batch_format="pandas")
 
 

@@ -142,3 +142,23 @@ def test_sharded_read_matches_replicate(ray_session):
     b = sorted(fl.doc_ids_dataset("/root/testdata/sf0.001", 4).to_pandas()["doc_id"])
     assert len(b) == 4 * len(a)
     assert b[: len(a)] == a  # shard 0 is the original corpus
+
+
+def test_salted_pip_copartition_identical(ray_session):
+    from geo_ray.pipelines import queries as Q
+    from geo_ray.stages import copartition as cp
+
+    plain = (
+        cp.pip_join_copartition(Q.points_ds("/root/testdata/sf0.001"))
+        .to_pandas()
+        .sort_values(["doc_id", "pt_idx", "area_id"])
+        .reset_index(drop=True)
+    )
+    salted = (
+        cp.pip_join_copartition(Q.points_ds("/root/testdata/sf0.001"), salt_threshold=5)
+        .to_pandas()
+        .sort_values(["doc_id", "pt_idx", "area_id"])
+        .reset_index(drop=True)
+    )
+    assert len(plain) > 0
+    assert plain.equals(salted)
