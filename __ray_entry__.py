@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only geo ops (non-SQL-expressible; pytest-conformance covered)
         "polyline_encode": Q.q_polyline_encode,
         "simplify_masks": Q.q_simplify_masks,
+        "simplify_lines": Q.q_simplify_lines,
         "cluster_city": Q.q_cluster_city,
         "cluster_copart": Q.q_cluster_copart,
         "tile_pipeline": Q.q_tile_pipeline,

@@ -1462,3 +1462,31 @@ SQL_PRIORITY_ORDER_STATS = """SELECT o_orderpriority,
   COUNT(*) AS n_orders,
   ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS total_price
 FROM orders GROUP BY o_orderpriority"""
+
+
+def q_simplify_lines(sf_dir: str):
+    """Douglas-Peucker at a fixed degree tolerance (boost::geometry::simplify
+    semantics, src/polyline.cc:16-20) over each doc's 24-vertex walk:
+    (doc_id, n_in, n_out). Rows-only; kernel is pytest-pinned."""
+    from geo_ray.kernels import simplify as simp_k
+    from geo_ray.stages.tiling import derive_walks
+
+    def stage(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy().astype(np.int64)
+        docs = doc_id[doc_id % 4 >= 1]
+        lat2d, lng2d = derive_walks(docs)
+        n_out = np.empty(docs.size, dtype=np.int64)
+        for i in range(docs.size):
+            slat, _ = simp_k.simplify_degrees(lat2d[i], lng2d[i], 0.0005)
+            n_out[i] = slat.size
+        return pa.table(
+            {
+                "doc_id": pa.array(docs),
+                "n_in": pa.array(np.full(docs.size, 24, dtype=np.int64)),
+                "n_out": pa.array(n_out),
+            }
+        )
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.repartition(64).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)

@@ -292,16 +292,21 @@ def knn_refine_bucket(group, k: int = 5):
     return pd.concat(out, ignore_index=True) if out else empty
 
 
-def knn_copartition(points_ds, query_ids, qlat, qlng, k: int = 5, radius_m: float = 50000.0, zoom: int = 8):
+def knn_copartition(points_ds, query_ids, qlat, qlng, k: int = 5, radius_m: float = 50000.0, zoom: int = 8, hot_cells=None):
     """Cell co-partitioned kNN: returns (query_id, doc_id, pt_idx, dist_m),
-    k smallest per query among points within ``radius_m`` of the query."""
+    k smallest per query among points within ``radius_m`` of the query.
+    ``hot_cells`` salt-splits dense cells' points (probes replicate per salt;
+    per-salt partial top-k rows all reach the same final groupby(query_id),
+    so the result is unchanged)."""
     import ray.data as rd
 
     tagged = points_ds.map_batches(
         tag_points, fn_kwargs={"zoom": zoom}, batch_format="pyarrow", zero_copy_batch=True
     )
     probes = rd.from_arrow(probe_side_table(query_ids, qlat, qlng, radius_m, zoom))
-    both = tagged.union(probes).map_batches(add_bucket, batch_format="pyarrow")
+    both = tagged.union(probes).map_batches(
+        add_bucket, fn_kwargs={"hot_cells": hot_cells}, batch_format="pyarrow"
+    )
     partial = both.groupby("bucket").map_groups(
         lambda g: knn_refine_bucket(g, k), batch_format="pandas"
     )

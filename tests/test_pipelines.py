@@ -162,3 +162,34 @@ def test_salted_pip_copartition_identical(ray_session):
     )
     assert len(plain) > 0
     assert plain.equals(salted)
+
+
+def test_salted_knn_copartition_identical(ray_session):
+    import numpy as np
+
+    from geo_ray.pipelines import queries as Q
+    from geo_ray.sources import derive
+    from geo_ray.stages import copartition as cp
+
+    qlat = np.array([c[0] for c in derive.CITIES])
+    qlng = np.array([c[1] for c in derive.CITIES])
+
+    def run(hot):
+        out = cp.knn_copartition(
+            Q.points_ds("/root/testdata/sf0.001"), np.arange(8), qlat, qlng, k=5, hot_cells=hot
+        )
+        return (
+            out.to_pandas()
+            .sort_values(["query_id", "doc_id", "pt_idx"])
+            .reset_index(drop=True)
+        )
+
+    plain = run(None)
+    # salt every city's own cell — the densest cells by construction
+    cx, cy = __import__("geo_ray.kernels.cell", fromlist=["cell_at_zoom"]).cell_at_zoom(qlat, qlng, 8)
+    from geo_ray.kernels.cell import hash_from_xy
+
+    hot = hash_from_xy(cx, cy).astype("int64")
+    salted = run(hot)
+    assert len(plain) == 40
+    assert plain.equals(salted)
