@@ -71,8 +71,12 @@ def _single_linkage(lat, lng, max_dist):
     return clusters
 
 
-def _complete_linkage(lat, lng, max_dist):
-    """Literal mirror of make_complete_linkage_clusters (cluster_nearby.cc:109-172)."""
+def _complete_linkage_reference(lat, lng, max_dist):
+    """Literal mirror of make_complete_linkage_clusters (cluster_nearby.cc:109-172).
+
+    O(n^2) matrix rebuild per merge (O(n^3) total) — kept as the conformance
+    reference; the incremental variant below is output-identical and is what
+    runs in production paths."""
     n = lat.size
     if n == 0:
         raise ValueError("make_complete_linkage_clusters: empty coords")
@@ -99,6 +103,51 @@ def _complete_linkage(lat, lng, max_dist):
         ci = clusters[iu[k]]
         cj = clusters[ju[k]]
         clusters[clusters == ci] = cj
+    return clusters
+
+
+def _complete_linkage(lat, lng, max_dist):
+    """Incremental complete linkage, output-identical to the reference mirror.
+
+    Maintains the label-indexed max-distance matrix M across merges instead
+    of rebuilding it from all point pairs: merging cluster c into d folds row
+    c into row d and column c into column d (max-wise), clears row/col c and
+    M[d, d] — exactly the matrix the rebuild would produce, including the
+    reference's asymmetric write positions (a pair (i > j) writes at
+    (label[i], label[j]), which can land in either triangle). The merge-pick
+    scan (LAST lower-triangle entry with 0 <= D <= max_dist) is unchanged.
+    O(n^2) per merge for the scan, O(n) for the update.
+    """
+    n = lat.size
+    if n == 0:
+        raise ValueError("make_complete_linkage_clusters: empty coords")
+    clusters = np.arange(n, dtype=np.uint32)
+    if n == 1:
+        return clusters
+    dmat = _gc_distance_f(lat[:, None], lng[:, None], lat[None, :], lng[None, :])
+    lowest = np.float32(np.finfo(np.float32).min)
+    # initial M: labels == point indices, pairs (i > j) write at (i, j)
+    m = np.full((n, n), lowest, dtype=np.float32)
+    il, jl = np.tril_indices(n, -1)
+    m[il, jl] = dmat[il, jl]
+    tril_mask = np.zeros((n, n), dtype=bool)
+    tril_mask[il, jl] = True
+    while (clusters != clusters[0]).any():
+        qual = tril_mask & (m >= 0) & (m <= max_dist)
+        flat = np.flatnonzero(qual.ravel())
+        if flat.size == 0:
+            break
+        k = int(flat[-1])  # row-major last == reference's last tril scan hit
+        ci = np.uint32(k // n)
+        cj = np.uint32(k % n)
+        # fold c := ci into d := cj (same direction as the reference merge)
+        c, d = int(ci), int(cj)
+        np.maximum(m[d, :], m[c, :], out=m[d, :])
+        np.maximum(m[:, d], m[:, c], out=m[:, d])
+        m[c, :] = lowest
+        m[:, c] = lowest
+        m[d, d] = lowest
+        clusters[clusters == c] = d
     return clusters
 
 

@@ -63,3 +63,23 @@ def test_labels_are_valid_indices():
     labels = cluster_nearby(lats, lngs, 300.0)
     assert labels.dtype == np.uint32
     assert (labels < 40).all()
+
+
+def test_incremental_complete_linkage_equals_reference():
+    """The O(n^2)-update complete linkage must reproduce the literal mirror
+    bit-for-bit, including the last-qualifying-entry merge-order quirk."""
+    import numpy as np
+
+    from geo_ray.kernels import cluster as C
+
+    rng = np.random.default_rng(123)
+    for _ in range(40):
+        n = int(rng.integers(1, 30))
+        centers = rng.uniform(-60, 60, (max(1, n // 6), 2))
+        pick = rng.integers(0, len(centers), n)
+        lat = (centers[pick, 0] + rng.normal(0, 0.01, n)).astype(np.float32)
+        lng = (centers[pick, 1] + rng.normal(0, 0.01, n)).astype(np.float32)
+        for md in (200.0, 1500.0):
+            a = C._complete_linkage_reference(lat, lng, np.float32(md))
+            b = C._complete_linkage(lat, lng, np.float32(md))
+            assert (a == b).all()
