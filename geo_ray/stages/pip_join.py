@@ -29,9 +29,17 @@ from geo_ray.sources import derive
 
 
 class CompiledPolygons:
-    """Ring arrays + bbox arrays for a polygon set, built once."""
+    """Compiled polygon set: ring arrays + bbox arrays + a CELL-COVER index.
 
-    def __init__(self, polygons=None):
+    The cell-cover index (the engine's analogue of area_db_lookup's rtree,
+    include/geo/area_db.h:156-158) maps each z-cell to the polygons whose
+    bbox covers it, so a point batch probes only the polygons of its own
+    cell instead of scanning all N — the build-once/query-many state this
+    class holds per actor. Small sets (< ``index_threshold``) keep the plain
+    vectorized bbox scan, which is faster than indexing 8 hexagons.
+    """
+
+    def __init__(self, polygons=None, index_threshold: int = 32, index_zoom: int | None = None):
         # polygons: list of (area_id, lat_arr, lng_arr[, holes])
         if polygons is None:
             polygons = derive.polygons_arrays()
@@ -47,34 +55,98 @@ class CompiledPolygons:
         self.bb_min_lng = b[:, 1]
         self.bb_max_lat = b[:, 2]
         self.bb_max_lng = b[:, 3]
+        self.cell_index = None
+        self.index_zoom = None
+        if len(self.polys) >= index_threshold:
+            self._build_cell_index(index_zoom)
+
+    def _build_cell_index(self, zoom: int | None):
+        """cell -> np.array of polygon slots whose bbox covers the cell."""
+        if zoom is None:
+            # pick a zoom where a typical polygon bbox covers only a few
+            # cells: cell size ~ median bbox extent
+            ext = np.maximum(
+                self.bb_max_lat - self.bb_min_lat, self.bb_max_lng - self.bb_min_lng
+            )
+            med = float(np.median(ext)) if ext.size else 1.0
+            zoom = int(np.clip(np.floor(np.log2(360.0 / max(med, 1e-6))), 0, 16))
+        self.index_zoom = zoom
+        index: dict[int, list[int]] = {}
+        for k in range(len(self.polys)):
+            x0, y0 = cell_k.cell_at_zoom(
+                np.array([self.bb_min_lat[k]]), np.array([self.bb_min_lng[k]]), zoom
+            )
+            x1, y1 = cell_k.cell_at_zoom(
+                np.array([self.bb_max_lat[k]]), np.array([self.bb_max_lng[k]]), zoom
+            )
+            for x in range(min(int(x0[0]), int(x1[0])), max(int(x0[0]), int(x1[0])) + 1):
+                for y in range(min(int(y0[0]), int(y1[0])), max(int(y0[0]), int(y1[0])) + 1):
+                    index.setdefault((x << zoom) | y, []).append(k)
+        self.cell_index = {c: np.array(v, dtype=np.int64) for c, v in index.items()}
+
+    def _refine(self, idx, k):
+        """Exact even-odd refine of candidate rows ``idx`` against polygon
+        slot ``k``; returns hit row indices."""
+        area_id, r_lat, r_lng, holes = self.polys[k]
+        inside = pip_k.points_in_ring(self._lat[idx], self._lng[idx], r_lat, r_lng)
+        hit = idx[inside]
+        if holes and hit.size:
+            keep = np.ones(hit.size, dtype=bool)
+            for h_lat, h_lng in holes:
+                keep &= ~pip_k.points_in_ring(self._lat[hit], self._lng[hit], h_lat, h_lng)
+            hit = hit[keep]
+        return hit
 
     def lookup(self, lat: np.ndarray, lng: np.ndarray):
         """All (point_row, area_id) containment pairs, vectorized:
-        bbox candidate mask per polygon, even-odd refine on candidates."""
+        candidate generation via cell index (large sets) or bbox scan,
+        even-odd refine on candidates (area_db.h:194-214 flow)."""
+        self._lat, self._lng = lat, lng
         rows_out = []
         areas_out = []
-        for k, (area_id, r_lat, r_lng, holes) in enumerate(self.polys):
-            cand = (
-                (lat >= self.bb_min_lat[k])
-                & (lat <= self.bb_max_lat[k])
-                & (lng >= self.bb_min_lng[k])
-                & (lng <= self.bb_max_lng[k])
-            )
-            if not cand.any():
-                continue
-            idx = np.flatnonzero(cand)
-            inside = pip_k.points_in_ring(lat[idx], lng[idx], r_lat, r_lng)
-            if holes:
-                hit = idx[inside]
-                keep = np.ones(hit.size, dtype=bool)
-                for h_lat, h_lng in holes:
-                    keep &= ~pip_k.points_in_ring(lat[hit], lng[hit], h_lat, h_lng)
-                hit = hit[keep]
-            else:
-                hit = idx[inside]
-            if hit.size:
-                rows_out.append(hit)
-                areas_out.append(np.full(hit.size, area_id, dtype=np.int64))
+        if self.cell_index is not None:
+            z = self.index_zoom
+            cx, cy = cell_k.cell_at_zoom(lat, lng, z)
+            cells = (cx.astype(np.int64) << z) | cy.astype(np.int64)
+            order = np.argsort(cells, kind="mergesort")
+            cs = cells[order]
+            starts = np.flatnonzero(np.concatenate([[True], cs[1:] != cs[:-1]]))
+            ends = np.concatenate([starts[1:], [cs.size]])
+            for s, e in zip(starts, ends):
+                cand_polys = self.cell_index.get(int(cs[s]))
+                if cand_polys is None:
+                    continue
+                pts = order[s:e]
+                for k in cand_polys:
+                    # bbox prefilter within the cell's candidates
+                    m = (
+                        (lat[pts] >= self.bb_min_lat[k])
+                        & (lat[pts] <= self.bb_max_lat[k])
+                        & (lng[pts] >= self.bb_min_lng[k])
+                        & (lng[pts] <= self.bb_max_lng[k])
+                    )
+                    if not m.any():
+                        continue
+                    hit = self._refine(pts[m], int(k))
+                    if hit.size:
+                        rows_out.append(hit)
+                        areas_out.append(
+                            np.full(hit.size, self.polys[int(k)][0], dtype=np.int64)
+                        )
+        else:
+            for k in range(len(self.polys)):
+                cand = (
+                    (lat >= self.bb_min_lat[k])
+                    & (lat <= self.bb_max_lat[k])
+                    & (lng >= self.bb_min_lng[k])
+                    & (lng <= self.bb_max_lng[k])
+                )
+                if not cand.any():
+                    continue
+                hit = self._refine(np.flatnonzero(cand), k)
+                if hit.size:
+                    rows_out.append(hit)
+                    areas_out.append(np.full(hit.size, self.polys[k][0], dtype=np.int64))
         if not rows_out:
             return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
         return np.concatenate(rows_out), np.concatenate(areas_out)
