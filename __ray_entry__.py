@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_ids": Q.q_cell_ids,
         "pip_join": Q.q_pip_join,
         "pip_join_copart": Q.q_pip_join_copart,
+        "pip_join_indexed": Q.q_pip_join_indexed,
         "knn_cities": Q.q_knn_cities,
         "knn_copart": Q.q_knn_copart,
         "poly_filter": Q.q_poly_filter,
@@ -104,6 +105,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_ids": Q.SQL_CELL_IDS,
         "pip_join": Q.SQL_PIP_JOIN,
         "pip_join_copart": Q.SQL_PIP_JOIN_COPART,
+        "pip_join_indexed": Q.SQL_PIP_JOIN_INDEXED,
         "knn_cities": Q.SQL_KNN_CITIES,
         "knn_copart": Q.SQL_KNN_COPART,
         "poly_filter": Q.SQL_POLY_FILTER,

@@ -1490,3 +1490,27 @@ def q_simplify_lines(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     return ds.repartition(64).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_pip_join_indexed(sf_dir: str):
+    """PIP join against a deterministic 200-polygon set large enough to
+    engage CompiledPolygons' cell-cover candidate index (the at-scale
+    area_db analogue); exact SQL oracle over the same ring literals."""
+    from geo_ray.stages.pip_join import CompiledPolygons
+
+    polys = derive.many_polygons_arrays(200)
+
+    def stage(b: pa.Table) -> pa.Table:
+        index = CompiledPolygons(polys)  # >= threshold -> indexed
+        assert index.cell_index is not None
+        rows, areas = index.lookup(b["lat"].to_numpy(), b["lng"].to_numpy())
+        out = b.take(pa.array(rows)).select(["doc_id", "pt_idx"])
+        return out.append_column("area_id", pa.array(areas))
+
+    return points_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_PIP_JOIN_INDEXED = f"{POINTS_CTE}\n" + "\nUNION ALL\n".join(
+    f"SELECT doc_id, pt_idx, {k} AS area_id FROM points WHERE {derive.pip_sql_predicate(ring)}"
+    for k, ring in derive.many_polygons(200)
+)

@@ -151,3 +151,32 @@ def pip_sql_predicate(ring, lat_col: str = "lat", lng_col: str = "lng") -> str:
             f" THEN 1 ELSE 0 END)"
         )
     return "((" + " + ".join(terms) + ") % 2 = 1)"
+
+
+def many_polygons(n: int = 200):
+    """Deterministic larger polygon set (hexagon-ish rings scattered around
+    the cities by integer arithmetic, vertices rounded to 6 dp so Python and
+    SQL literals are the same doubles) — exercises the cell-cover index path
+    of CompiledPolygons with an exact SQL oracle."""
+    out = []
+    for k in range(n):
+        clat, clng = CITIES[k % len(CITIES)]
+        h = k * _MULT + 12345
+        clat = clat + ((h % 1000) - 500) / 1000.0 * 0.5
+        clng = clng + (((h // 1000) % 1000) - 500) / 1000.0 * 0.7
+        r = 0.02 + ((h // 7) % 100) / 100.0 * 0.13
+        ring = []
+        for j in range(6):
+            ang = 2 * np.pi * j / 6 + 0.3
+            ring.append(
+                (round(clat + r * np.sin(ang), 6), round(clng + 1.4 * r * np.cos(ang), 6))
+            )
+        out.append((k, ring))
+    return out
+
+
+def many_polygons_arrays(n: int = 200):
+    return [
+        (k, np.array([p[0] for p in ring]), np.array([p[1] for p in ring]))
+        for k, ring in many_polygons(n)
+    ]
