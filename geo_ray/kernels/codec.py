@@ -151,3 +151,31 @@ def encode_polylines_batch(lat_values, lng_values, offsets, precision: int = 5):
         b1 = byte_starts[2 * offsets[i + 1]]
         out.append(flat[b0:b1].tobytes().decode("ascii"))
     return out
+
+
+def encode_polyline_nonzero(lat, lng, precision: int = 5, simplification: int = 0):
+    """``push_nonzero_diff`` encode (polyline_format.h:41-58): quantize with
+    llrint (round half to even — note ``push`` uses llround instead), keep a
+    point only when either quantized delta to the last KEPT point exceeds
+    ``simplification``, encode the kept deltas. The encoder state starts at
+    (0, 0), so even the first point is subject to the threshold — faithful to
+    the reference. Returns (encoded_string, kept_mask)."""
+    scale = 10.0 ** precision
+    qlat = _llrint(np.asarray(lat, dtype=np.float64) * scale)
+    qlng = _llrint(np.asarray(lng, dtype=np.float64) * scale)
+    n = qlat.size
+    kept = np.zeros(n, dtype=bool)
+    deltas = []
+    last_lat = 0
+    last_lng = 0
+    for i in range(n):  # data-dependent running state: inherently sequential
+        dlat = int(qlat[i]) - last_lat
+        dlng = int(qlng[i]) - last_lng
+        if abs(dlat) > simplification or abs(dlng) > simplification:
+            deltas.append(dlat)
+            deltas.append(dlng)
+            last_lat = int(qlat[i])
+            last_lng = int(qlng[i])
+            kept[i] = True
+    enc = encode_deltas(np.asarray(deltas, dtype=np.int64)) if deltas else b""
+    return enc.decode("ascii"), kept

@@ -76,3 +76,34 @@ def test_random_roundtrip_all_precisions():
         dlat, dlng = C.decode_polyline(enc, precision=p)
         np.testing.assert_allclose(dlat, qlat, atol=1e-12)
         np.testing.assert_allclose(dlng, qlng, atol=1e-12)
+
+
+def test_push_nonzero_diff_threshold_and_roundtrip():
+    """push_nonzero_diff (polyline_format.h:41-58): points within the
+    simplification threshold of the last kept point are dropped; the encoded
+    stream round-trips to the kept points."""
+    import numpy as np
+
+    from geo_ray.kernels import codec as C
+
+    lat = np.array([38.5, 38.500004, 40.7, 40.700009, 43.252])
+    lng = np.array([-120.2, -120.200004, -120.95, -120.950009, -126.453])
+    enc, kept = C.encode_polyline_nonzero(lat, lng, 5, simplification=1)
+    # deltas of 0 or 1 tick (<= threshold) are dropped
+    assert kept.tolist() == [True, False, True, False, True]
+    dlat, dlng = C.decode_polyline(enc, 5)
+    assert np.allclose(dlat, [38.5, 40.7, 43.252])
+    assert np.allclose(dlng, [-120.2, -120.95, -126.453])
+
+
+def test_push_nonzero_zero_threshold_matches_plain_encode_on_distinct():
+    import numpy as np
+
+    from geo_ray.kernels import codec as C
+
+    lat = np.array([38.5, 40.7, 43.252])
+    lng = np.array([-120.2, -120.95, -126.453])
+    enc, kept = C.encode_polyline_nonzero(lat, lng, 5, 0)
+    assert kept.all()
+    # llrint vs llround agree on these values -> identical stream
+    assert enc == C.encode_polyline(lat, lng, 5)
