@@ -67,3 +67,29 @@ def test_resume_noop_when_done(ray_session, out_dir):
     run_resumable(_fragments(2), _build, out_dir, unit_size=2)
     s = run_resumable(_fragments(2), _build, out_dir, unit_size=2)
     assert s["skipped"] == 2 and s["units"] == 0
+
+
+def test_tiles_job_resume(ray_session, tmp_path):
+    """Multi-zoom tiles job: one resumable partition per zoom."""
+    import subprocess
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import json as _json
+
+    from geo_ray.state.checkpoint import Fragment, run_resumable
+    from tiles_job import build_tiles
+
+    out = str(tmp_path / "tiles")
+    frags = [
+        Fragment(part_id=f"z{z}", input_files=[f"{SF}/documents.parquet"], params={"zoom": z, "salt": None})
+        for z in (6, 10)
+    ]
+    s1 = run_resumable(frags, build_tiles(SF), out, unit_size=1, max_units=1)
+    assert s1["completed_total"] == 1
+    s2 = run_resumable(frags, build_tiles(SF), out, unit_size=1)
+    assert s2["skipped"] == 1 and s2["completed_total"] == 2
+    import pyarrow.parquet as pq
+
+    for z in (6, 10):
+        assert pq.read_table(os.path.join(out, f"part_id=z{z}")).num_rows > 0
