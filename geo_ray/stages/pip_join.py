@@ -84,16 +84,16 @@ class CompiledPolygons:
                     index.setdefault((x << zoom) | y, []).append(k)
         self.cell_index = {c: np.array(v, dtype=np.int64) for c, v in index.items()}
 
-    def _refine(self, idx, k):
+    def _refine(self, lat, lng, idx, k):
         """Exact even-odd refine of candidate rows ``idx`` against polygon
         slot ``k``; returns hit row indices."""
         area_id, r_lat, r_lng, holes = self.polys[k]
-        inside = pip_k.points_in_ring(self._lat[idx], self._lng[idx], r_lat, r_lng)
+        inside = pip_k.points_in_ring(lat[idx], lng[idx], r_lat, r_lng)
         hit = idx[inside]
         if holes and hit.size:
             keep = np.ones(hit.size, dtype=bool)
             for h_lat, h_lng in holes:
-                keep &= ~pip_k.points_in_ring(self._lat[hit], self._lng[hit], h_lat, h_lng)
+                keep &= ~pip_k.points_in_ring(lat[hit], lng[hit], h_lat, h_lng)
             hit = hit[keep]
         return hit
 
@@ -101,7 +101,6 @@ class CompiledPolygons:
         """All (point_row, area_id) containment pairs, vectorized:
         candidate generation via cell index (large sets) or bbox scan,
         even-odd refine on candidates (area_db.h:194-214 flow)."""
-        self._lat, self._lng = lat, lng
         rows_out = []
         areas_out = []
         if self.cell_index is not None:
@@ -127,7 +126,7 @@ class CompiledPolygons:
                     )
                     if not m.any():
                         continue
-                    hit = self._refine(pts[m], int(k))
+                    hit = self._refine(lat, lng, pts[m], int(k))
                     if hit.size:
                         rows_out.append(hit)
                         areas_out.append(
@@ -143,7 +142,7 @@ class CompiledPolygons:
                 )
                 if not cand.any():
                     continue
-                hit = self._refine(np.flatnonzero(cand), k)
+                hit = self._refine(lat, lng, np.flatnonzero(cand), k)
                 if hit.size:
                     rows_out.append(hit)
                     areas_out.append(np.full(hit.size, self.polys[k][0], dtype=np.int64))
