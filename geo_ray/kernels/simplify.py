@@ -51,6 +51,37 @@ def sq_perpendicular_dist(sx, sy, tx, ty, px, py):
     return dx * dx + dy * dy
 
 
+def _sq_dist_scalar(sx, sy, tx, ty, px, py):
+    """Scalar twin of sq_perpendicular_dist — same IEEE ops, no NumPy call
+    overhead (pure-Python floats ARE C doubles; ~4x faster for the tiny
+    segments that dominate the DP recursion)."""
+    slope_x = ty - sy
+    slope_y = tx - sx
+    rel_x = py - sy
+    rel_y = px - sx
+    unnormed = slope_x * rel_x + slope_y * rel_y
+    sq_len = slope_x * slope_x + slope_y * slope_y
+    if sq_len < _EPS64:
+        proj_x = sx
+        proj_y = sy
+    else:
+        ratio = unnormed / sq_len
+        if ratio < 0.0:
+            ratio = 0.0
+        elif ratio > 1.0:
+            ratio = 1.0
+        proj_x = (1.0 - ratio) * sx + tx * ratio
+        proj_y = (1.0 - ratio) * sy + ty * ratio
+    dx = proj_x - px
+    dy = proj_y - py
+    return dx * dx + dy * dy
+
+
+_EPS64 = float(np.finfo(np.float64).eps)
+from math import floor as _floor  # noqa: E402
+_SCALAR_SPAN_CUTOFF = 24  # spans up to this size take the scalar fast path
+
+
 def process_level(x, y, threshold: float, mask: np.ndarray) -> bool:
     """One DP refinement pass; mutates ``mask`` in place. Returns True when the
     mask already kept every vertex (no gaps)."""
@@ -62,12 +93,33 @@ def process_level(x, y, threshold: float, mask: np.ndarray) -> bool:
     ]
     if not stack:
         return True
+    xl = x.tolist()
+    yl = y.tolist()
+    floor = np.floor
     while stack:
         lo, hi = stack.pop()
-        if hi - lo <= 1:
+        n_mid = hi - lo - 1
+        if n_mid <= 0:
+            continue
+        if n_mid <= _SCALAR_SPAN_CUTOFF:
+            # scalar path: small spans dominate; identical arithmetic
+            sx, sy, tx, ty = xl[lo], yl[lo], xl[hi], yl[hi]
+            best = 0
+            best_d = -1.0
+            for j in range(n_mid):
+                p = lo + 1 + j
+                d = _floor(_sq_dist_scalar(sx, sy, tx, ty, xl[p], yl[p]))
+                if d > best_d:
+                    best_d = d
+                    best = j
+            if best_d >= threshold:
+                far = lo + 1 + best
+                mask[far] = True
+                stack.append((lo, far))
+                stack.append((far, hi))
             continue
         seg = slice(lo + 1, hi)
-        d = np.floor(
+        d = floor(
             sq_perpendicular_dist(
                 float(x[lo]), float(y[lo]), float(x[hi]), float(y[hi]), x[seg], y[seg]
             )

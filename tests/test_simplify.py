@@ -122,3 +122,23 @@ def test_simplify_degrees():
     assert slat.tolist() == [0.0, 0.0, 1.0]
     slat2, _ = S.simplify_degrees(lat, lng, 1e-9)
     assert slat2.size == 4
+
+
+def test_scalar_and_vector_dp_paths_identical(monkeypatch):
+    """The scalar fast path must produce bit-identical masks to the
+    vectorized path (same IEEE ops, same first-max tie-break)."""
+    import numpy as np
+
+    from geo_ray.kernels import simplify as S
+
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        n = int(rng.integers(5, 120))
+        lat = np.cumsum(rng.normal(0, 0.01, n)) + 48.0
+        lng = np.cumsum(rng.normal(0, 0.01, n)) + 8.0
+        monkeypatch.setattr(S, "_SCALAR_SPAN_CUTOFF", -1)  # force vectorized
+        vec = S.make_simplify_mask(lat, lng)
+        monkeypatch.setattr(S, "_SCALAR_SPAN_CUTOFF", 10**9)  # force scalar
+        sca = S.make_simplify_mask(lat, lng)
+        for a, b in zip(vec, sca):
+            assert (a == b).all()
