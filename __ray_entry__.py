@@ -81,6 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": Q.q_ivf_topk,
         "event_hourly": Q.q_event_hourly,
         "revenue_by_nation": Q.q_revenue_by_nation,
+        "doc_sample": Q.q_doc_sample,
+        "parts_by_brand": Q.q_parts_by_brand,
+        "supplier_region_counts": Q.q_supplier_region_counts,
         "priority_order_stats": Q.q_priority_order_stats,
         "event_sessions": Q.q_event_sessions,
     }
@@ -127,6 +130,9 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": Q.SQL_IVF_TOPK,
         "event_hourly": Q.SQL_EVENT_HOURLY,
         "revenue_by_nation": Q.SQL_REVENUE_BY_NATION,
+        "doc_sample": Q.SQL_DOC_SAMPLE,
+        "parts_by_brand": Q.SQL_PARTS_BY_BRAND,
+        "supplier_region_counts": Q.SQL_SUPPLIER_REGION_COUNTS,
         "priority_order_stats": Q.SQL_PRIORITY_ORDER_STATS,
         "event_sessions": Q.SQL_EVENT_SESSIONS,
     }

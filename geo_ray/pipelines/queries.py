@@ -1514,3 +1514,130 @@ SQL_PIP_JOIN_INDEXED = f"{POINTS_CTE}\n" + "\nUNION ALL\n".join(
     f"SELECT doc_id, pt_idx, {k} AS area_id FROM points WHERE {derive.pip_sql_predicate(ring)}"
     for k, ring in derive.many_polygons(200)
 )
+
+
+# ---------------------------------------------------------------------------
+# sampling + remaining-table coverage (part / supplier / region)
+# ---------------------------------------------------------------------------
+
+
+def q_doc_sample(sf_dir: str):
+    """Deterministic 10% hash sample of documents (Knuth multiplicative hash
+    on doc_id — the reproducible sampling a training pipeline needs; no RNG,
+    so the SQL twin is exact)."""
+    def stage(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy().astype(np.int64)
+        keep = (doc_id * 2654435761) % 100 < 10
+        return b.filter(pa.array(keep)).select(["doc_id"])
+
+    return _docs_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_DOC_SAMPLE = "SELECT doc_id FROM documents WHERE (doc_id * 2654435761) % 100 < 10"
+
+
+def q_parts_by_brand(sf_dir: str):
+    """Part count + exact-cents total retail price per brand: bounded-domain
+    partial aggregate + tree combine (same pattern as priority stats)."""
+    from geo_ray.stages import agg
+
+    def partial(b: pa.Table) -> pa.Table:
+        brand = b["p_brand"].to_numpy(zero_copy_only=False)
+        cents = np.rint(b["p_retailprice"].to_numpy() * 100).astype(np.int64)
+        u, inv = np.unique(brand, return_inverse=True)
+        n_p = np.bincount(inv).astype(np.int64)
+        s_p = np.zeros(u.size, dtype=np.int64)
+        np.add.at(s_p, inv, cents)
+        # pack both aggregates through one combine: key = brand string
+        keys = [str(x) for x in u] + [str(x) + "\x00S" for x in u]
+        return pa.table(
+            {
+                "p_brand": pa.array(keys),
+                "v_partial": pa.array(np.concatenate([n_p, s_p])),
+            }
+        )
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_brand", "p_retailprice"])
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def combine(b: pa.Table) -> pa.Table:
+        k = b["p_brand"].to_numpy(zero_copy_only=False)
+        v = b["v_partial"].to_numpy()
+        order = np.argsort(k, kind="mergesort")
+        k, v = k[order], v[order]
+        u, starts = np.unique(k, return_index=True)
+        return pa.table({"p_brand": pa.array(u.tolist()), "v_partial": pa.array(np.add.reduceat(v, starts))})
+
+    ds = ds.repartition(4).map_batches(combine, batch_format="pyarrow", batch_size=None)
+    ds = ds.repartition(1).map_batches(combine, batch_format="pyarrow", batch_size=None)
+
+    def finish(b: pa.Table) -> pa.Table:
+        k = [str(x) for x in b["p_brand"].to_numpy(zero_copy_only=False)]
+        v = b["v_partial"].to_numpy()
+        counts = {x: int(n) for x, n in zip(k, v) if not x.endswith("\x00S")}
+        sums = {x[:-2]: int(n) for x, n in zip(k, v) if x.endswith("\x00S")}
+        brands = sorted(counts)
+        return pa.table(
+            {
+                "p_brand": pa.array(brands),
+                "n_parts": pa.array([counts[x] for x in brands], pa.int64()),
+                "total_retail": pa.array([round(sums[x] / 100.0, 2) for x in brands]),
+            }
+        )
+
+    return ds.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_PARTS_BY_BRAND = """SELECT p_brand, COUNT(*) AS n_parts,
+  ROUND(SUM(CAST(ROUND(p_retailprice * 100) AS BIGINT)) / 100.0, 2) AS total_retail
+FROM part GROUP BY p_brand"""
+
+
+def q_supplier_region_counts(sf_dir: str):
+    """Suppliers per region name: two broadcast dimension joins
+    (supplier -> nation -> region) + bounded-domain count."""
+    from geo_ray.stages import agg
+    from geo_ray.stages.join import BroadcastHashJoin
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    ds = ds.map_batches(
+        BroadcastHashJoin("n_nationkey", path=f"{sf_dir}/nation.parquet", columns=["n_regionkey"], probe_key="s_nationkey"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        rk = b["n_regionkey"].to_numpy().astype(np.int64)
+        u, c = np.unique(rk, return_counts=True)
+        return pa.table({"r_regionkey": pa.array(u), "n_partial": pa.array(c.astype(np.int64))})
+
+    ds = ds.map_batches(partial, batch_format="pyarrow")
+    ds = agg.tree_sum(ds, "r_regionkey", "n_partial")
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        region = pq.read_table(f"{sf_dir}/region.parquet")
+        lut = dict(
+            zip(
+                region["r_regionkey"].to_numpy().astype(np.int64).tolist(),
+                region["r_name"].to_numpy(zero_copy_only=False).tolist(),
+            )
+        )
+        keys = b["r_regionkey"].to_numpy()
+        return pa.table(
+            {
+                "r_name": pa.array([lut[int(k)] for k in keys]),
+                "n_suppliers": b["n_partial"],
+            }
+        )
+
+    return ds.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_SUPPLIER_REGION_COUNTS = """SELECT r.r_name, COUNT(*) AS n_suppliers
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name"""
