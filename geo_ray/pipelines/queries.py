@@ -824,7 +824,9 @@ def q_minhash_pairs(sf_dir: str):
         return b.append_column("pair_key", pa.array(a * 10_000_000 + bb))
 
     pairs = pairs.map_batches(pack, batch_format="pyarrow")
-    out = pairs.groupby("pair_key").aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+    from geo_ray.stages import agg as agg_st
+
+    out = agg_st.tree_max(pairs.select_columns(["pair_key", "est_jaccard"]), "pair_key", "est_jaccard")
 
     def unpack(b: pa.Table) -> pa.Table:
         k = b["pair_key"].to_numpy()

@@ -41,3 +41,29 @@ def tree_sum(ds, key: str, value: str, fanout: int = 8):
     return ds.repartition(1).map_batches(
         combine, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+
+
+def combine_max(batch: pa.Table, key: str, value: str) -> pa.Table:
+    """Merge (key, value) partial rows keeping the max per key."""
+    k = batch[key].to_numpy()
+    v = batch[value].to_numpy()
+    order = np.argsort(k, kind="mergesort")
+    k, v = k[order], v[order]
+    uk, starts = np.unique(k, return_index=True)
+    return pa.table({key: pa.array(uk), value: pa.array(np.maximum.reduceat(v, starts))})
+
+
+def tree_max(ds, key: str, value: str, fanout: int = 8):
+    """Dataset of (key, value) rows -> one block of (key, max) rows — for
+    small-output keep-max dedups (e.g. candidate-pair lists), avoiding a
+    sort-based aggregate shuffle."""
+
+    def combine(b: pa.Table) -> pa.Table:
+        return combine_max(b, key, value)
+
+    ds = ds.repartition(fanout).map_batches(
+        combine, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    return ds.repartition(1).map_batches(
+        combine, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
