@@ -99,6 +99,60 @@ def token_hashes_arrow(col, min_tokens: int = 0):
     return hashes, offsets
 
 
+FNV_PRIME2 = np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)  # odd golden-ratio prime
+FNV_OFFSET2 = np.uint64(0x51F0AD12C5A9E3B7)
+
+
+def text_hashes_arrow(col):
+    """Two independent 64-bit hashes of each FULL string, straight off the
+    Arrow buffers (h1 = FNV-1a; h2 = same recurrence with a different odd
+    multiplier + offset). Used by hash-first exact dedup so the shuffle key is
+    (h1, h2, len) instead of the full text — a pair collision over both
+    64-bit streams is ~2^-128 per pair, negligible at any corpus size.
+
+    Work is proportional to total bytes (strings processed length-sorted, one
+    vector op per byte position over the still-active suffix), no padding
+    matrix. Returns (h1:int64-view, h2:int64-view, lens:int64).
+    """
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z.copy(), z.copy()
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    vbuf = (
+        np.frombuffer(col.buffers()[2], dtype=np.uint8)
+        if col.buffers()[2] is not None
+        else np.zeros(0, np.uint8)
+    )
+    lens = np.diff(offs)
+    order = np.argsort(lens, kind="stable")
+    sl = lens[order]
+    so = offs[:-1][order]
+    h1 = np.full(n, FNV_OFFSET, dtype=np.uint64)
+    h2 = np.full(n, FNV_OFFSET2, dtype=np.uint64)
+    maxlen = int(sl[-1])
+    start = 0
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            while start < n and sl[start] <= j:
+                start += 1
+            b = vbuf[so[start:] + j].astype(np.uint64)
+            h1[start:] = (h1[start:] ^ b) * FNV_PRIME
+            h2[start:] = (h2[start:] ^ b) * FNV_PRIME2
+    out1 = np.empty(n, dtype=np.uint64)
+    out2 = np.empty(n, dtype=np.uint64)
+    out1[order] = h1
+    out2[order] = h2
+    return out1.view(np.int64), out2.view(np.int64), lens
+
+
 def batch_token_hashes(texts: list[str], min_tokens: int = 0):
     """Whitespace-tokenize every text and hash all tokens in one pass.
 

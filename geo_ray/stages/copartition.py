@@ -147,14 +147,27 @@ def add_bucket(batch: pa.Table, hot_cells=None, n_salt: int = 8) -> pa.Table:
     return out.append_column("bucket", pa.array(np.concatenate(out_buckets)))
 
 
+_RINGS = None
+
+
+def _ring_registry():
+    """Ring table resolved ONCE per worker process and cached — map_groups
+    re-invokes the UDF per group, so the registry build must not live inside
+    it. At scale the same memo holds a ``ray.get`` of a broadcast ring-table
+    ref instead of the fixture build (swap-in point; same call shape)."""
+    global _RINGS
+    if _RINGS is None:
+        _RINGS = {k: (lat, lng) for k, lat, lng in derive.polygons_arrays()}
+    return _RINGS
+
+
 def pip_refine_bucket(group):
     """map_groups: refine (point, polygon) candidates that share a cell.
 
-    Ring geometry comes from the fixture registry (at scale: a ``ray.put``
-    broadcast of the ring table, resolved once per worker)."""
+    Ring geometry comes from the worker-cached registry (``_ring_registry``)."""
     import pandas as pd
 
-    rings = {k: (lat, lng) for k, lat, lng in derive.polygons_arrays()}
+    rings = _ring_registry()
     side = group["side"].to_numpy()
     polys = group[side == BUILD_SIDE]
     pts = group[side == POINT_SIDE]

@@ -63,16 +63,21 @@ def minhash_signature(shingles: np.ndarray) -> np.ndarray:
     return vals.min(axis=0)
 
 
-def batch_signatures(texts: list[str], k: int = 3) -> np.ndarray:
+def batch_signatures(texts, k: int = 3) -> np.ndarray:
     """(n_docs, N_HASH) minhash matrix, fully vectorized across the batch:
-    tokenize+hash all tokens at once (kernels.strhash column-loop FNV-1a),
-    rolling shingles flat, universal-hash all shingles x 64 in one GEMM-shaped
-    op, per-doc min via ``np.minimum.reduceat``. Values are bit-identical to
-    the scalar ``minhash_signature(_shingle_hashes(t))`` path (min over a
-    multiset equals min over the set, so the dedup step is unnecessary)."""
+    tokenize+hash all tokens at once (Arrow-native ``token_hashes_arrow`` when
+    given an Arrow column — zero Python per token — else the list-of-str
+    fallback), rolling shingles flat, universal-hash all shingles x 64 in one
+    GEMM-shaped op, per-doc min via ``np.minimum.reduceat``. Values are
+    bit-identical to the scalar ``minhash_signature(_shingle_hashes(t))`` path
+    (min over a multiset equals min over the set, so the dedup step is
+    unnecessary)."""
     from geo_ray.kernels import strhash
 
-    th, offs = strhash.batch_token_hashes(texts, min_tokens=k)
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        th, offs = strhash.token_hashes_arrow(texts, min_tokens=k)
+    else:
+        th, offs = strhash.batch_token_hashes(texts, min_tokens=k)
     sh, sh_offs = strhash.shingle_hashes_flat(th, offs, k)
     a, b = _coeffs()
     n = offs.size - 1
@@ -116,9 +121,8 @@ def minhash_bands(batch: pa.Table) -> pa.Table:
     the corpus.
     """
     doc_ids = batch["doc_id"].to_numpy()
-    texts = batch["text"].to_pylist()
-    n = len(texts)
-    sigs = batch_signatures(texts)
+    n = batch.num_rows
+    sigs = batch_signatures(batch["text"])
     band_keys = np.zeros((n, N_BANDS), dtype=np.int64)
     with np.errstate(over="ignore"):
         for b in range(N_BANDS):
@@ -220,7 +224,7 @@ def simhash64(batch: pa.Table) -> pa.Table:
 
     doc_ids = batch["doc_id"].to_numpy()
     n = len(doc_ids)
-    th, offs = strhash.batch_token_hashes(batch["text"].to_pylist())
+    th, offs = strhash.token_hashes_arrow(batch["text"])
     out = np.zeros(n, dtype=np.uint64)
     if th.size:
         doc_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))

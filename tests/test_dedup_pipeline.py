@@ -1,0 +1,81 @@
+"""Dedup pipeline guards: hash-first exact dedup equals text-groupby truth,
+and the minhash pair key stays exact for doc_id >= 10^7 (the replicated-shard
+id range — the r1 pair-key packing collided there)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def big_id_docs(tmp_path_factory):
+    """A tiny documents table whose doc_ids live beyond 10^7, with exact
+    duplicates and near-duplicates across the id gap."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    near = base.replace("theta", "THETA")  # one token differs -> high jaccard
+    rows = [
+        (3, base),
+        (10_000_001, base),  # exact dup across the old pair-key boundary
+        (10_000_002, near),  # near dup
+        (25_000_007, "completely different text with its own tokens here now"),
+        (25_000_008, base),
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    d = tmp_path_factory.mktemp("bigids")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), d / "documents.parquet")
+    return str(d)
+
+
+def test_minhash_pairs_big_doc_ids(ray_session, big_id_docs):
+    from geo_ray.pipelines import queries as Q
+
+    got = Q.q_minhash_pairs(big_id_docs).to_pandas()
+    pairs = set(zip(got["doc_a"].astype(int), got["doc_b"].astype(int)))
+    # exact duplicates must pair with est_jaccard 1.0 and EXACT ids
+    assert (3, 10_000_001) in pairs
+    assert (3, 25_000_008) in pairs
+    assert (10_000_001, 25_000_008) in pairs
+    for _, r in got.iterrows():
+        assert int(r.doc_a) < int(r.doc_b)
+        assert int(r.doc_a) in {3, 10_000_001, 10_000_002, 25_000_007, 25_000_008}
+        assert int(r.doc_b) in {3, 10_000_001, 10_000_002, 25_000_007, 25_000_008}
+    exact = got[(got.doc_a == 3) & (got.doc_b == 10_000_001)]
+    assert float(exact.est_jaccard.iloc[0]) == 1.0
+
+
+def test_minhash_pair_key_overflow_guard(ray_session, tmp_path):
+    from geo_ray.pipelines import queries as Q
+
+    df = pd.DataFrame(
+        {"doc_id": [1 << 33, (1 << 33) + 1], "text": ["same text tokens here"] * 2}
+    )
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp_path / "documents.parquet")
+    with pytest.raises(Exception, match="2-column key|2\\^32|RayTaskError|ValueError"):
+        Q.q_minhash_pairs(str(tmp_path)).to_pandas()
+
+
+def test_exact_dedup_hash_first_equals_text_groupby(ray_session, tmp_path):
+    from geo_ray.pipelines import queries as Q
+
+    texts = ["aaa", "bbb", "aaa", "ccc", "bbb", "aaa", ""]
+    df = pd.DataFrame({"doc_id": np.arange(7, dtype=np.int64) + 5, "text": texts})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), tmp_path / "documents.parquet")
+    got = (
+        Q.q_exact_dedup(str(tmp_path))
+        .to_pandas()
+        .sort_values("keep_doc_id")
+        .reset_index(drop=True)
+    )
+    truth = (
+        df.groupby("text", as_index=False)
+        .agg(keep_doc_id=("doc_id", "min"), n_copies=("doc_id", "size"))
+        .sort_values("keep_doc_id")[["keep_doc_id", "n_copies"]]
+        .reset_index(drop=True)
+    )
+    assert got["keep_doc_id"].tolist() == truth["keep_doc_id"].tolist()
+    assert got["n_copies"].tolist() == truth["n_copies"].tolist()
