@@ -15,10 +15,13 @@ distributed plan exact, not approximate:
    direction-dependent, and global-order sorting preserves each pair's
    evaluation direction, so the local edge set is a subset of the global one
    and their union over cells is exactly the global edge set.
-3. Union-find over the emitted (representative, member) pairs merges local
-   components into the global SL partition. (Driver-side here — the pair
-   list is one row per duplicated clustered point; at corpus scale this
-   becomes iterative min-label propagation, same fixed point.)
+3. Distributed connected components over the emitted (representative, member)
+   pairs merge local components into the global SL partition: alternating
+   large-star/small-star min-label contraction (``cc_minlabel``), every round
+   a coarse-bucket groupby — the pair list never funnels through the driver,
+   only a (count, hash-sum) convergence scalar does. The converged star set
+   (member -> component-min-gid) is the compact broadcast lookup used to
+   label points via ``np.searchsorted``.
 4. Group by final SL component and run the reference's complete-linkage
    refinement per component, members again sorted by global id so the
    sequential scan order (and thus the exact merge sequence) is reproduced.
@@ -121,8 +124,121 @@ def sl_pairs_bucket(group, max_dist: float):
     return pd.DataFrame({"rep": np.concatenate(reps), "gid": np.concatenate(members)})
 
 
+def _star_bucket(df, mode: str):
+    """Vectorized per-bucket star operation over MANY nodes at once.
+
+    ``large``: input rows are BOTH orientations (u, v); for each u, with
+    m = min(neighbors ∪ {u}), emit (v, m) for every neighbor v > u.
+    ``small``: input rows are oriented (hi, lo); for each hi, with
+    m = min(lo neighbors), emit (lo, m) for lo != m plus (hi, m).
+    Both emit only (x, y) with x > y; output is deduped within the bucket.
+    This is the alternating large-star/small-star connected-components
+    formulation (Kiveris et al., 'Connected Components in MapReduce and
+    Beyond', 2014) — the classic distributed min-label contraction.
+    """
+    import pandas as pd
+
+    u = df["u"].to_numpy()
+    v = df["v"].to_numpy()
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    keep = np.ones(u.size, dtype=bool)
+    keep[1:] = (u[1:] != u[:-1]) | (v[1:] != v[:-1])
+    u, v = u[keep], v[keep]
+    starts = np.flatnonzero(np.concatenate([[True], u[1:] != u[:-1]]))
+    counts = np.diff(np.concatenate([starts, [u.size]]))
+    m = np.minimum.reduceat(v, starts)
+    if mode == "large":
+        m = np.minimum(m, u[starts])
+        mrep = np.repeat(m, counts)
+        sel = v > u
+        out_u, out_v = v[sel], mrep[sel]
+    else:
+        mrep = np.repeat(m, counts)
+        sel = v != mrep
+        out_u = np.concatenate([v[sel], u[starts]])
+        out_v = np.concatenate([mrep[sel], m])
+    order = np.lexsort((out_v, out_u))
+    out_u, out_v = out_u[order], out_v[order]
+    keep = np.ones(out_u.size, dtype=bool)
+    keep[1:] = (out_u[1:] != out_u[:-1]) | (out_v[1:] != out_v[:-1])
+    return pd.DataFrame({"u": out_u[keep], "v": out_v[keep]})
+
+
+def _edge_checksum(ds) -> tuple[int, int]:
+    """(n_edges, 64-bit hash-sum) of an edge Dataset — a driver-side SCALAR
+    convergence probe (no edge row ever reaches the driver)."""
+    import pandas as pd  # noqa: F401
+
+    def partial(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy().astype(np.uint64)
+        v = b["v"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (u * np.uint64(0x9E3779B97F4A7C15) ^ v) * np.uint64(1099511628211)
+        return pa.table(
+            {
+                "n": pa.array([u.size], pa.int64()),
+                "hsum": pa.array([int(h.sum(dtype=np.uint64) & np.uint64((1 << 63) - 1))], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    return int(parts["n"].sum()), int(parts["hsum"].sum() & ((1 << 63) - 1))
+
+
+def cc_minlabel(pairs_ds, max_rounds: int = 32):
+    """Distributed connected components over a (rep, gid) edge Dataset.
+
+    Alternating large-star / small-star rounds, each a coarse-bucket
+    ``groupby().map_groups`` (vectorized over all nodes of the bucket), until
+    the oriented edge set reaches a fixpoint — at which point every edge is
+    (member, component-min-gid). Returns the star-edge Dataset ``(u, v)``
+    with ``v`` = component representative; nodes absent from it are their own
+    component. The pair list NEVER funnels through the driver — only a
+    (count, hash-sum) scalar probe per round.
+    """
+
+    def both_orient(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy().astype(np.int64)
+        v = b["v"].to_numpy().astype(np.int64)
+        ou = np.concatenate([u, v])
+        ov = np.concatenate([v, u])
+        return pa.table(
+            {
+                "u": pa.array(ou),
+                "v": pa.array(ov),
+                "b": pa.array((ou % N_BUCKETS).astype(np.int64)),
+            }
+        )
+
+    def hi_bucket(b: pa.Table) -> pa.Table:
+        u = b["u"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"u": b["u"], "v": b["v"], "b": pa.array((u % N_BUCKETS).astype(np.int64))}
+        )
+
+    edges = pairs_ds
+    prev = None
+    for _ in range(max_rounds):
+        ls_in = edges.map_batches(both_orient, batch_format="pyarrow", zero_copy_batch=True)
+        ls = ls_in.groupby("b").map_groups(
+            lambda g: _star_bucket(g, "large"), batch_format="pandas"
+        )
+        ss_in = ls.map_batches(hi_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        edges = ss_in.groupby("b").map_groups(
+            lambda g: _star_bucket(g, "small"), batch_format="pandas"
+        ).materialize()
+        cur = _edge_checksum(edges)
+        if cur == prev:
+            return edges
+        prev = cur
+    raise RuntimeError("cc_minlabel did not converge")
+
+
 def union_find(pairs_rep: np.ndarray, pairs_gid: np.ndarray) -> dict[int, int]:
-    """gid -> global SL component representative (min gid in component)."""
+    """gid -> global SL component representative (min gid in component).
+    Sequential cross-check ONLY (tests pin cc_minlabel against it); the
+    pipeline path is the distributed :func:`cc_minlabel`."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -197,17 +313,39 @@ def cluster_copartition(points_ds, max_dist: float = 500.0, zoom: int | None = N
     )
     pairs = halo.groupby("bucket").map_groups(
         lambda g: sl_pairs_bucket(g, max_dist), batch_format="pandas"
-    ).to_pandas()
-    if pairs.empty or "rep" not in pairs.columns:
-        comp_of = {}
-    else:
-        comp_of = union_find(pairs["rep"].to_numpy(np.int64), pairs["gid"].to_numpy(np.int64))
-    comp_ref = ray.put(comp_of)
+    )
+
+    def as_edges(b) -> pa.Table:
+        if "rep" not in b.column_names:
+            return pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+        return pa.table(
+            {
+                "u": b["gid"].cast(pa.int64()),
+                "v": b["rep"].cast(pa.int64()),
+            }
+        )
+
+    stars = cc_minlabel(pairs.map_batches(as_edges, batch_format="pyarrow"))
+    # The converged star set (member -> component-min-gid) is the compact
+    # lookup table — one row per CLUSTERED point, far smaller than the input.
+    # Broadcast it once (ray.put of two sorted arrays) and attach via
+    # np.searchsorted; at extreme scale swap for a gid-keyed shuffle join.
+    mp = stars.to_pandas()
+    nodes = mp["u"].to_numpy(np.int64)
+    roots = mp["v"].to_numpy(np.int64)
+    order = np.argsort(nodes, kind="mergesort")
+    comp_ref = ray.put((nodes[order], roots[order]))
 
     def attach_comp(batch: pa.Table) -> pa.Table:
-        mapping = ray.get(comp_ref)
+        nodes, roots = ray.get(comp_ref)
         gid = batch["gid"].to_numpy().astype(np.int64)
-        comp = np.array([mapping.get(int(g), int(g)) for g in gid], dtype=np.int64)
+        if nodes.size:
+            pos = np.searchsorted(nodes, gid)
+            pos_c = np.minimum(pos, nodes.size - 1)
+            hit = nodes[pos_c] == gid
+            comp = np.where(hit, roots[pos_c], gid)
+        else:
+            comp = gid
         t = batch.append_column("comp", pa.array(comp))
         return t.append_column("cbucket", pa.array((comp % N_BUCKETS).astype(np.int64)))
 

@@ -38,3 +38,34 @@ def test_cluster_copart_matches_sequential(ray_session):
     # sanity: clustering is non-trivial on this data
     n_clustered = sum(1 for g, r in want.items() if sum(1 for x in want.values() if x == r) > 1)
     assert n_clustered > 10
+
+
+def test_cc_minlabel_matches_union_find(ray_session):
+    """Distributed star-contraction CC == sequential union-find on random
+    edge sets, including long chains (multi-round convergence)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from geo_ray.stages import cluster_copart as cc
+
+    rng = np.random.default_rng(7)
+    cases = []
+    # random sparse graph over sparse large ids
+    ids = rng.choice(10**9, size=200, replace=False).astype(np.int64)
+    e_u = rng.choice(ids, 150)
+    e_v = rng.choice(ids, 150)
+    cases.append((e_u, e_v))
+    # a long chain: worst case for naive propagation
+    chain = np.sort(rng.choice(10**6, size=64, replace=False)).astype(np.int64)
+    cases.append((chain[:-1], chain[1:]))
+    # self loops + duplicates
+    cases.append((np.array([5, 5, 7, 9]), np.array([5, 7, 7, 11])))
+
+    for e_u, e_v in cases:
+        ds = rd.from_pandas(pd.DataFrame({"u": e_u.astype(np.int64), "v": e_v.astype(np.int64)}))
+        stars = cc.cc_minlabel(ds).to_pandas()
+        got = dict(zip(stars["u"].astype(int), stars["v"].astype(int)))
+        want = cc.union_find(e_u.astype(np.int64), e_v.astype(np.int64))
+        all_nodes = set(e_u.tolist()) | set(e_v.tolist())
+        for n in all_nodes:
+            assert got.get(n, n) == want.get(n, n), (n, got.get(n, n), want.get(n, n))
