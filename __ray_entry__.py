@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": Q.q_ann_topk,
         "ivf_counts": Q.q_ivf_counts,
         "ivf_topk": Q.q_ivf_topk,
+        "ivf_dup_pairs": Q.q_ivf_dup_pairs,
         "event_hourly": Q.q_event_hourly,
         "revenue_by_nation": Q.q_revenue_by_nation,
         "doc_sample": Q.q_doc_sample,
@@ -128,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": Q.SQL_EXACT_DEDUP,
         "ann_topk": Q.SQL_ANN_TOPK,
         "ivf_topk": Q.SQL_IVF_TOPK,
+        "ivf_dup_pairs": Q.SQL_IVF_DUP_PAIRS,
         "event_hourly": Q.SQL_EVENT_HOURLY,
         "revenue_by_nation": Q.SQL_REVENUE_BY_NATION,
         "doc_sample": Q.SQL_DOC_SAMPLE,

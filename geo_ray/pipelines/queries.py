@@ -1294,14 +1294,13 @@ def _sql_centroid_vec(cid: int) -> str:
     return "[" + ", ".join(repr(float(v)) for v in vals) + "]"
 
 
-def _sql_ivf_topk() -> str:
-    from geo_ray.stages.ann import probe_centroids
-
-    probe = probe_centroids(8, 16, 4)
+def _sql_ivf_assigned() -> str:
+    """The `assigned` CTE: every vector labeled with its nearest deterministic
+    coarse centroid (ties to the lower centroid id — np.argmax semantics)."""
     cent_rel = " UNION ALL ".join(
         f"SELECT {cid} AS centroid_id, {_sql_centroid_vec(cid)} AS cvec" for cid in range(16)
     )
-    assign = f"""assigned AS (
+    return f"""assigned AS (
   SELECT vec_id, embedding, centroid_id FROM (
     SELECT e.vec_id, e.embedding, c.centroid_id,
            ROW_NUMBER() OVER (
@@ -1312,6 +1311,13 @@ def _sql_ivf_topk() -> str:
     FROM embeddings e, ({cent_rel}) c
   ) WHERE rnk = 1
 )"""
+
+
+def _sql_ivf_topk() -> str:
+    from geo_ray.stages.ann import probe_centroids
+
+    probe = probe_centroids(8, 16, 4)
+    assign = _sql_ivf_assigned()
     per_query = "\nUNION ALL\n".join(
         f"""SELECT query_id, vec_id, cos_sim FROM (
   SELECT {qid} AS query_id, vec_id,
@@ -1326,6 +1332,30 @@ def _sql_ivf_topk() -> str:
 
 
 SQL_IVF_TOPK = _sql_ivf_topk()
+
+
+def q_ivf_dup_pairs(sf_dir: str):
+    """IVF-bucketed embedding near-dup (the at-scale realization of
+    ``embed_dup_pairs``): coarse-quantizer partition (``ivf_assign``) then
+    exact all-pairs cosine WITHIN each centroid bucket — O(sum bucket^2)
+    compute, no full-matrix broadcast. Recall contract: finds exactly the
+    near-dup pairs whose two vectors share a nearest centroid (pinned by
+    pytest as a subset of the brute pairs + by the SQL oracle)."""
+    from geo_ray.stages import ann as ann_st
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = ds.map_batches(ann_st.ivf_assign, batch_format="pyarrow")
+    return ds.groupby("centroid_id").map_groups(
+        lambda g: ann_st.neardup_bucket(g, 0.4), batch_format="pandas"
+    )
+
+
+SQL_IVF_DUP_PAIRS = f"""WITH {_sql_ivf_assigned()}
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+FROM assigned a JOIN assigned b
+  ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4"""
 
 
 def q_box_buffered(sf_dir: str):

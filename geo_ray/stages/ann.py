@@ -119,6 +119,35 @@ class CosineNearDup:
         )
 
 
+def neardup_bucket(group, tau: float = 0.4):
+    """map_groups over IVF centroid partitions: exact all-pairs cosine within
+    ONE bucket (normalize + one GEMM), emitting (vec_a < vec_b) pairs with
+    round(cos, 6) >= tau.
+
+    This is the scale path for embedding near-dup (``CosineNearDup``'s
+    docstring contract): compute is O(sum of bucket_size^2) instead of
+    O(n * N), and no worker ever holds the full matrix — only its bucket.
+    Recall contract: a pair is found iff BOTH vectors map to the same coarse
+    centroid; cross-bucket near-dups are missed by construction (the brute
+    pass is the recall oracle; tests pin the subset relation)."""
+    import pandas as pd
+
+    ids = group["vec_id"].to_numpy().astype(np.int64)
+    order = np.argsort(ids, kind="mergesort")
+    ids = ids[order]
+    emb = np.stack(group["embedding"].to_numpy()[order]).astype(np.float64)
+    norms = np.sqrt((emb * emb).sum(axis=1))
+    norms[norms == 0] = 1.0
+    vn = emb / norms[:, None]
+    cos = vn @ vn.T
+    iu, ju = np.triu_indices(ids.size, 1)
+    sim = np.round(cos[iu, ju], 6)
+    keep = sim >= tau
+    return pd.DataFrame(
+        {"vec_a": ids[iu[keep]], "vec_b": ids[ju[keep]], "cos_sim": sim[keep]}
+    )
+
+
 def probe_centroids(n_queries: int = 8, n_centroids: int = 16, nprobe: int = 4) -> np.ndarray:
     """(n_queries, nprobe) centroid ids each query probes (cosine-nearest,
     ties by lower centroid id) — the IVF probe plan, computable identically
