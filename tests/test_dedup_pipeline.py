@@ -79,3 +79,35 @@ def test_exact_dedup_hash_first_equals_text_groupby(ray_session, tmp_path):
     )
     assert got["keep_doc_id"].tolist() == truth["keep_doc_id"].tolist()
     assert got["n_copies"].tolist() == truth["n_copies"].tolist()
+
+
+def test_ngram_lsh_prefilter_equals_allpairs(ray_session):
+    """LSH-prefiltered n-gram Jaccard == the exact all-pairs scan, on both
+    the sf0.01 corpus buckets and a synthetic duplicate-heavy bucket."""
+    import pandas as pd
+
+    from geo_ray.stages import dedup as dd
+
+    # synthetic bucket: exact dups, near dups, and noise
+    base = "zero one two three four five six seven eight nine ten eleven"
+    texts = [base, base, base.replace("five", "FIVE"),
+             "unrelated words entirely different content goes right here now",
+             base.replace("two three", "2 3")]
+    ids = np.array([11, 22, 33, 44, 55], dtype=np.int64)
+    g = pd.DataFrame({"doc_id": ids, "text": texts})
+    got = dd.ngram_jaccard_pairs(g, 3, 0.5)
+    want = dd.ngram_allpairs_jaccard(ids, texts, 3, 0.5)
+    assert [(int(r.doc_a), int(r.doc_b), float(r.jaccard)) for r in got.itertuples()] == want
+    assert len(want) >= 3  # the synthetic bucket really has near-dup pairs
+
+    # real corpus buckets at sf0.01
+    docs = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    ).to_pandas()
+    for (_, _), sub in docs.groupby(["lang", "source"]):
+        got = dd.ngram_jaccard_pairs(sub, 3, 0.5)
+        want = dd.ngram_allpairs_jaccard(
+            sub["doc_id"].to_numpy(np.int64), sub["text"].to_numpy(), 3, 0.5
+        )
+        assert [(int(r.doc_a), int(r.doc_b), float(r.jaccard)) for r in got.itertuples()] == want
