@@ -9,8 +9,11 @@ Reference semantics (include/geo/tile.h, src/tile.cc):
   (pixel // tile_size at zoom z)
 - packed 64-bit tile key for shuffles: z<<58 | x<<29 | y
 
-Tile *iteration* (pyramid traversal, tile.h:45-137) is a generator concern:
-ranges are enumerated as NumPy meshgrids, never Python-by-Python tile objects.
+Tile *iteration* (pyramid traversal, tile.h:45-137) lives in
+``geo_ray.kernels.tile_iter`` — the bidirectional auto-descend iterator,
+``make_tile_range`` / ``tile_range_on_z`` / ``make_tile_pyramid`` — for API
+parity and driver-side pyramid scheduling; the distributed engine enumerates
+covers as NumPy meshgrids here, never Python-by-Python tile objects.
 """
 
 from __future__ import annotations
