@@ -140,3 +140,29 @@ def documents_with_spans(sf_dir: str) -> "rd.Dataset":
     """documents + synthesized interleaved spans payload (input_hint shape)."""
     ds = read_documents(sf_dir, columns=("doc_id", "text"))
     return ds.map_batches(spans.synthesize_spans, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def flagship_spans(sf_dir: str, cell_zoom: int = 8, tile_zoom: int = 14):
+    """The spans-DRIVEN flagship: geo points are exploded from the ACTUAL
+    spans struct column (kind == 'geo' entries of the interleaved payload),
+    carried through cell assignment, the PIP join and tile assignment, and
+    the span-sequence invariant (offset order + media_ref identity per row)
+    is asserted IN-PIPELINE on the join output before the carried span
+    columns are dropped. Output rows are identical to the arithmetic-derive
+    ``flagship()`` (same oracle)."""
+    ds = documents_with_spans(sf_dir)
+    ds = ds.map_batches(
+        spans.explode_points_from_spans, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ds = ds.map_batches(
+        cells.assign_cells, fn_kwargs={"zoom": cell_zoom}, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ds = ds.map_batches(
+        cells.assign_tiles, fn_kwargs={"zoom": tile_zoom}, batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ds = ds.map_batches(pip_join.pip_join_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
+        spans.verify_span_invariant, batch_format="pyarrow", zero_copy_batch=True
+    )

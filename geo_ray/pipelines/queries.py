@@ -596,11 +596,13 @@ FROM documents"""
 
 
 def q_flagship(sf_dir: str):
-    """The full §3.1+§3.3 pipeline: spans-derived points -> cells -> PIP join
-    -> z14 tile assignment; oracle-checked end to end."""
+    """The full §3.1+§3.3 pipeline, SPANS-driven: synthesize the interleaved
+    payload, explode geo points from the actual spans struct column, assign
+    cells + z14 tiles, PIP-join, and assert the span-sequence invariant on
+    the join output in-pipeline; oracle-checked end to end."""
     from geo_ray.pipelines import flagship as fl
 
-    ds = fl.flagship(sf_dir)
+    ds = fl.flagship_spans(sf_dir)
     return ds.select_columns(["doc_id", "pt_idx", "area_id", "tile_x", "tile_y"])
 
 

@@ -193,3 +193,62 @@ def test_salted_knn_copartition_identical(ray_session):
     salted = run(hot)
     assert len(plain) == 40
     assert plain.equals(salted)
+
+
+def test_flagship_spans_driven_equals_arithmetic(ray_session):
+    """The spans-driven flagship (explode from the spans struct, invariant
+    asserted in-pipeline) emits exactly the arithmetic-derive flagship rows."""
+    from geo_ray.pipelines import flagship as fl
+
+    cols = ["doc_id", "pt_idx", "area_id", "tile_x", "tile_y"]
+    a = (
+        fl.flagship_spans(SF)
+        .select_columns(cols)
+        .to_pandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    b = (
+        fl.flagship(SF)
+        .select_columns(cols)
+        .to_pandas()
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert len(a) > 0
+
+
+def test_span_invariant_check_rejects_tampering(ray_session):
+    import pyarrow as pa
+
+    from geo_ray.pipelines import flagship as fl
+    from geo_ray.stages import spans as sp
+
+    docs = fl.documents_with_spans(SF).take_batch(64, batch_format="pyarrow")
+    pts = sp.explode_points_from_spans(docs)
+    # untampered passes and drops the carried columns
+    out = sp.verify_span_invariant(pts)
+    assert "media_ref" not in out.column_names
+    # tampered offset -> in-pipeline assertion fires
+    bad = pts.set_column(
+        pts.schema.get_field_index("span_offset"),
+        "span_offset",
+        pa.array(pts["span_offset"].to_numpy() + 1),
+    )
+    try:
+        sp.verify_span_invariant(bad)
+        raise SystemExit("should have raised")
+    except AssertionError:
+        pass
+    # tampered media_ref -> fires too
+    refs = pts["media_ref"].to_pylist()
+    refs[0] = "geo://999999999"
+    bad2 = pts.set_column(
+        pts.schema.get_field_index("media_ref"), "media_ref", pa.array(refs)
+    )
+    try:
+        sp.verify_span_invariant(bad2)
+        raise SystemExit("should have raised")
+    except AssertionError:
+        pass
