@@ -235,10 +235,50 @@ def cc_minlabel(pairs_ds, max_rounds: int = 32):
     raise RuntimeError("cc_minlabel did not converge")
 
 
+# Edge sets at or below this count are resolved in ONE reducer task (a
+# single constant-key groupby — off-driver, one shuffle) instead of paying
+# 2+ star-contraction rounds of fixed Ray-op overhead; larger sets iterate
+# cc_minlabel. 5M edges ~ 80 MB — trivially one worker's heap.
+SINGLE_TASK_EDGE_LIMIT = 5_000_000
+
+
+def resolve_components(edges_ds):
+    """(u, v) edge Dataset -> star Dataset (member, component-min root).
+
+    Size-gated plan: small edge lists fold to a single reducer task running
+    union-find (the classic small-side single-reducer finish — never the
+    driver); big ones run the log-round star contraction (:func:`cc_minlabel`).
+    Identical output either way (pytest-pinned)."""
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() > SINGLE_TASK_EDGE_LIMIT:
+        return cc_minlabel(edges_ds)
+
+    def const_key(b: pa.Table) -> pa.Table:
+        return b.append_column("b", pa.array(np.zeros(b.num_rows, dtype=np.int64)))
+
+    def uf_group(df):
+        import pandas as pd
+
+        mp = union_find(df["v"].to_numpy(np.int64), df["u"].to_numpy(np.int64))
+        items = [(g, r) for g, r in mp.items() if g != r]
+        if not items:
+            return pd.DataFrame(
+                {"u": np.array([], dtype=np.int64), "v": np.array([], dtype=np.int64)}
+            )
+        u, v = zip(*items)
+        return pd.DataFrame({"u": np.array(u, dtype=np.int64), "v": np.array(v, dtype=np.int64)})
+
+    return (
+        edges_ds.map_batches(const_key, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .map_groups(uf_group, batch_format="pandas")
+    )
+
+
 def union_find(pairs_rep: np.ndarray, pairs_gid: np.ndarray) -> dict[int, int]:
     """gid -> global SL component representative (min gid in component).
-    Sequential cross-check ONLY (tests pin cc_minlabel against it); the
-    pipeline path is the distributed :func:`cc_minlabel`."""
+    Runs inside the single-reducer task of :func:`resolve_components` (and as
+    the sequential cross-check for cc_minlabel tests) — never on the driver."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -325,7 +365,7 @@ def cluster_copartition(points_ds, max_dist: float = 500.0, zoom: int | None = N
             }
         )
 
-    stars = cc_minlabel(pairs.map_batches(as_edges, batch_format="pyarrow"))
+    stars = resolve_components(pairs.map_batches(as_edges, batch_format="pyarrow"))
     # The converged star set (member -> component-min-gid) is the compact
     # lookup table — one row per CLUSTERED point, far smaller than the input.
     # Broadcast it once (ray.put of two sorted arrays) and attach via

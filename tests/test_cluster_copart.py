@@ -69,3 +69,24 @@ def test_cc_minlabel_matches_union_find(ray_session):
         all_nodes = set(e_u.tolist()) | set(e_v.tolist())
         for n in all_nodes:
             assert got.get(n, n) == want.get(n, n), (n, got.get(n, n), want.get(n, n))
+
+
+def test_resolve_components_paths_agree(ray_session):
+    """Single-reducer path == star-contraction path on the same edge set."""
+    import pandas as pd
+    import ray.data as rd
+
+    from geo_ray.stages import cluster_copart as cc
+
+    rng = np.random.default_rng(11)
+    ids = rng.choice(10**8, size=300, replace=False).astype(np.int64)
+    e_u = rng.choice(ids, 220)
+    e_v = rng.choice(ids, 220)
+    ds = rd.from_pandas(pd.DataFrame({"u": e_u, "v": e_v}))
+    small = cc.resolve_components(ds).to_pandas()
+    big = cc.cc_minlabel(rd.from_pandas(pd.DataFrame({"u": e_u, "v": e_v}))).to_pandas()
+    m_small = dict(zip(small["u"].astype(int), small["v"].astype(int)))
+    m_big = dict(zip(big["u"].astype(int), big["v"].astype(int)))
+    nodes = set(e_u.tolist()) | set(e_v.tolist())
+    for n in nodes:
+        assert m_small.get(n, n) == m_big.get(n, n)
