@@ -81,6 +81,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": Q.q_ivf_topk,
         "ivf_dup_pairs": Q.q_ivf_dup_pairs,
         "event_hourly": Q.q_event_hourly,
+        "event_asof_orders": Q.q_event_asof_orders,
+        "event_sliding_windows": Q.q_event_sliding_windows,
+        "top_terms": Q.q_top_terms,
         "revenue_by_nation": Q.q_revenue_by_nation,
         "doc_sample": Q.q_doc_sample,
         "parts_by_brand": Q.q_parts_by_brand,
@@ -131,6 +134,9 @@ def oracle_sql() -> dict[str, str]:
         "ivf_topk": Q.SQL_IVF_TOPK,
         "ivf_dup_pairs": Q.SQL_IVF_DUP_PAIRS,
         "event_hourly": Q.SQL_EVENT_HOURLY,
+        "event_asof_orders": Q.SQL_EVENT_ASOF_ORDERS,
+        "event_sliding_windows": Q.SQL_EVENT_SLIDING_WINDOWS,
+        "top_terms": Q.SQL_TOP_TERMS,
         "revenue_by_nation": Q.SQL_REVENUE_BY_NATION,
         "doc_sample": Q.SQL_DOC_SAMPLE,
         "parts_by_brand": Q.SQL_PARTS_BY_BRAND,

@@ -1023,6 +1023,158 @@ SELECT user_id, CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_e
 FROM d GROUP BY user_id"""
 
 
+def q_event_asof_orders(sf_dir: str):
+    """As-of join (an operator Ray Data lacks natively): each event matched
+    to its user's most recent order at or before the event time, ties broken
+    deterministically by max o_orderkey. One key-bucket shuffle; per-bucket
+    segmented-scan resolution (stages/asof.py)."""
+    from geo_ray.stages import asof
+
+    rd = _rd()
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    od = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+    out = asof.asof_join(
+        ev,
+        od,
+        "user_id",
+        "ts",
+        "o_custkey",
+        "o_orderdate",
+        ["event_id"],
+        ["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        # int carries came through a nullable pandas group (float64) — exact
+        # for values < 2^53, cast back
+        return pa.table(
+            {
+                "event_id": pa.array(b["l_event_id"].to_numpy().astype(np.int64)),
+                "asof_orderkey": pa.array(b["r_o_orderkey"].to_numpy().astype(np.int64)),
+                "asof_totalprice": pa.array(b["r_o_totalprice"].to_numpy().astype(np.float64)),
+                "days_since": pa.array(
+                    ((b["t"].to_numpy() - b["r_t"].to_numpy()) // 86_400_000_000).astype(np.int64)
+                ),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENT_ASOF_ORDERS = """SELECT event_id, asof_orderkey, asof_totalprice, days_since FROM (
+  SELECT e.event_id AS event_id, o.o_orderkey AS asof_orderkey,
+         o.o_totalprice AS asof_totalprice,
+         CAST((epoch_us(e.ts) - epoch_us(o.o_orderdate)) // 86400000000 AS BIGINT) AS days_since,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rnk
+  FROM events e JOIN orders o ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+) WHERE rnk = 1"""
+
+
+def q_event_sliding_windows(sf_dir: str):
+    """Sliding-window aggregate: 1-hour windows advancing every 15 minutes;
+    each event explodes into its 4 covering windows inside map_batches (the
+    bounded-domain explode), then a plain groupby finishes — the windowed
+    aggregate a streaming pipeline needs, without any per-window state."""
+    from ray.data.aggregate import Count, Sum
+
+    QUARTER = 900_000_000  # 15 min in us
+
+    def explode(b: pa.Table) -> pa.Table:
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        q = ts // QUARTER
+        val = b["value"].to_numpy()
+        n = ts.size
+        w = np.repeat(q, 4) - np.tile(np.arange(4, dtype=np.int64), n)
+        return pa.table(
+            {
+                "window_start": pa.array(w * QUARTER),
+                "value": pa.array(np.repeat(val, 4)),
+            }
+        )
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    ds = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby("window_start").aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
+    )
+
+    def fin(b: pa.Table) -> pa.Table:
+        return _round_cols(b, {"sum_value": 6})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+SQL_EVENT_SLIDING_WINDOWS = """SELECT (epoch_us(ts) // 900000000 - k) * 900000000 AS window_start,
+  COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM events, (VALUES (0), (1), (2), (3)) t(k)
+GROUP BY 1"""
+
+
+def q_top_terms(sf_dir: str):
+    """Vocabulary heavy hitters: top-10 whitespace tokens per language by
+    count (ties to the lexicographically smaller token). Per-batch partial
+    counts collapse each block before the (lang, token) shuffle; the final
+    per-language top-k is a tiny groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        lang = b["lang"].to_numpy(zero_copy_only=False)
+        toks = pc.utf8_split_whitespace(b["text"].combine_chunks())
+        counts = np.asarray(toks.value_lengths(), dtype=np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        lang_of = np.repeat(lang, counts)
+        keep = flat != ""
+        flat, lang_of = flat[keep], lang_of[keep]
+        key = np.char.add(np.char.add(lang_of.astype("U8"), " "), flat.astype("U64"))
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"lt": pa.array(u.tolist()), "n_partial": pa.array(cnt.astype(np.int64))}
+        )
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = ds.groupby("lt").aggregate(Sum("n_partial", alias_name="n"))
+
+    def split_key(b: pa.Table) -> pa.Table:
+        lt = b["lt"].to_numpy(zero_copy_only=False)
+        parts = np.char.partition(lt.astype("U80"), " ")
+        return pa.table(
+            {
+                "lang": pa.array(parts[:, 0].tolist()),
+                "tok": pa.array(parts[:, 2].tolist()),
+                "n": b["n"],
+            }
+        )
+
+    def topk(g):
+        import pandas as pd  # noqa: F401
+
+        g = g.sort_values(["n", "tok"], ascending=[False, True], kind="mergesort")
+        return g.head(10)
+
+    return (
+        agg.map_batches(split_key, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+SQL_TOP_TERMS = r"""WITH toks AS (
+  SELECT lang, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents
+)
+SELECT lang, tok, n FROM (
+  SELECT lang, tok, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, tok) AS rnk
+  FROM toks GROUP BY lang, tok
+) WHERE rnk <= 10"""
+
+
 # ---------------------------------------------------------------------------
 # tile-assembly pipeline (SURVEY.md §3.3; rows-only — payload is engine format)
 # ---------------------------------------------------------------------------
