@@ -84,6 +84,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_asof_orders": Q.q_event_asof_orders,
         "event_sliding_windows": Q.q_event_sliding_windows,
         "top_terms": Q.q_top_terms,
+        "order_price_bands": Q.q_order_price_bands,
+        "pricing_summary": Q.q_pricing_summary,
+        "customers_without_orders": Q.q_customers_without_orders,
+        "doc_len_quantiles": Q.q_doc_len_quantiles,
         "revenue_by_nation": Q.q_revenue_by_nation,
         "doc_sample": Q.q_doc_sample,
         "parts_by_brand": Q.q_parts_by_brand,
@@ -137,6 +141,10 @@ def oracle_sql() -> dict[str, str]:
         "event_asof_orders": Q.SQL_EVENT_ASOF_ORDERS,
         "event_sliding_windows": Q.SQL_EVENT_SLIDING_WINDOWS,
         "top_terms": Q.SQL_TOP_TERMS,
+        "order_price_bands": Q.SQL_ORDER_PRICE_BANDS,
+        "pricing_summary": Q.SQL_PRICING_SUMMARY,
+        "customers_without_orders": Q.SQL_CUSTOMERS_WITHOUT_ORDERS,
+        "doc_len_quantiles": Q.SQL_DOC_LEN_QUANTILES,
         "revenue_by_nation": Q.SQL_REVENUE_BY_NATION,
         "doc_sample": Q.SQL_DOC_SAMPLE,
         "parts_by_brand": Q.SQL_PARTS_BY_BRAND,

@@ -1023,6 +1023,293 @@ SELECT user_id, CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_e
 FROM d GROUP BY user_id"""
 
 
+# Overlapping price bands for the 1-D range join: band k covers
+# [k*20000, k*20000 + 50000) dollars, so every order matches 2-3 bands.
+PRICE_BANDS = [(k, k * 20_000, k * 20_000 + 50_000) for k in range(25)]
+_RANGE_GRID = 10_000  # co-partition cell size (divides band bounds)
+
+
+def q_order_price_bands(sf_dir: str):
+    """1-D RANGE JOIN (interval containment — an operator Ray Data lacks):
+    orders joined to every overlapping price band. Same co-partition shape
+    as the spatial PIP join: intervals explode to their covering value-grid
+    cells (build side), points land in exactly one cell, a cell-bucket
+    groupby refines vectorized — a point matches only within its own cell,
+    so no cross-cell dedup is ever needed."""
+    bands = PRICE_BANDS
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        price = b["o_totalprice"].to_numpy()
+        cell = (price // _RANGE_GRID).astype(np.int64)
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "bucket": pa.array(cell % np.int64(16)),
+                "side": pa.array(np.ones(price.size, dtype=np.int64)),
+                "o_orderkey": b["o_orderkey"],
+                "o_totalprice": b["o_totalprice"],
+                "band_id": pa.array(np.full(price.size, -1, dtype=np.int64)),
+                "lo": pa.array(np.zeros(price.size, dtype=np.int64)),
+                "hi": pa.array(np.zeros(price.size, dtype=np.int64)),
+            }
+        )
+
+    def band_rows() -> pa.Table:
+        bid, lo, hi, cell = [], [], [], []
+        for k, l, h in bands:
+            cells = np.arange(l // _RANGE_GRID, (h - 1) // _RANGE_GRID + 1, dtype=np.int64)
+            cell.append(cells)
+            bid.append(np.full(cells.size, k, dtype=np.int64))
+            lo.append(np.full(cells.size, l, dtype=np.int64))
+            hi.append(np.full(cells.size, h, dtype=np.int64))
+        cell = np.concatenate(cell)
+        n = cell.size
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "bucket": pa.array(cell % np.int64(16)),
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+                "o_orderkey": pa.array(np.zeros(n, dtype=np.int64)),
+                "o_totalprice": pa.array(np.zeros(n, dtype=np.float64)),
+                "band_id": pa.array(np.concatenate(bid)),
+                "lo": pa.array(np.concatenate(lo)),
+                "hi": pa.array(np.concatenate(hi)),
+            }
+        )
+
+    def refine(g):
+        import pandas as pd
+
+        side = g["side"].to_numpy()
+        pts = g[side == 1]
+        bld = g[side == 0]
+        if len(pts) == 0 or len(bld) == 0:
+            return pd.DataFrame({"o_orderkey": [], "band_id": [], "o_totalprice": []})
+        pc_ = pts["cell"].to_numpy()
+        price = pts["o_totalprice"].to_numpy()
+        okey = pts["o_orderkey"].to_numpy()
+        out_k, out_b, out_p = [], [], []
+        for cell_val, lo, hi, bid in zip(
+            bld["cell"].to_numpy(), bld["lo"].to_numpy(), bld["hi"].to_numpy(),
+            bld["band_id"].to_numpy(),
+        ):
+            m = (pc_ == cell_val) & (price >= lo) & (price < hi)
+            if m.any():
+                out_k.append(okey[m])
+                out_b.append(np.full(int(m.sum()), bid, dtype=np.int64))
+                out_p.append(price[m])
+        if not out_k:
+            return pd.DataFrame({"o_orderkey": [], "band_id": [], "o_totalprice": []})
+        return pd.DataFrame(
+            {
+                "o_orderkey": np.concatenate(out_k),
+                "band_id": np.concatenate(out_b),
+                "o_totalprice": np.concatenate(out_p),
+            }
+        )
+
+    rd = _rd()
+    pts = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    pts = pts.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
+    both = pts.union(rd.from_arrow(band_rows()))
+    return both.groupby("bucket").map_groups(refine, batch_format="pandas")
+
+
+SQL_ORDER_PRICE_BANDS = (
+    "SELECT o_orderkey, band_id, o_totalprice FROM orders, (VALUES "
+    + ", ".join(f"({k}, {lo}, {hi})" for k, lo, hi in PRICE_BANDS)
+    + " ) b(band_id, lo, hi) WHERE o_totalprice >= lo AND o_totalprice < hi"
+)
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-style pricing summary over lineitem in EXACT integer
+    arithmetic: cents/percent fixed-point partial sums per batch, a tiny
+    4-key groupby, float rendering only at the end — bit-stable under any
+    combine order (the float-sum nondeterminism trap)."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        flag = b["l_returnflag"].to_numpy(zero_copy_only=False)
+        status = b["l_linestatus"].to_numpy(zero_copy_only=False)
+        qty = np.rint(b["l_quantity"].to_numpy()).astype(np.int64)
+        cents = np.rint(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc = np.rint(b["l_discount"].to_numpy() * 100).astype(np.int64)
+        tax = np.rint(b["l_tax"].to_numpy() * 100).astype(np.int64)
+        disc_e4 = cents * (100 - disc)
+        charge_e6 = disc_e4 * (100 + tax)
+        key = np.char.add(np.char.add(flag.astype("U1"), "|"), status.astype("U1"))
+        u, inv = np.unique(key, return_inverse=True)
+        def seg(v):
+            out = np.zeros(u.size, dtype=np.int64)
+            np.add.at(out, inv, v)
+            return out
+        return pa.table(
+            {
+                "k": pa.array(u.tolist()),
+                "sum_qty": pa.array(seg(qty)),
+                "base_cents": pa.array(seg(cents)),
+                "disc_e4": pa.array(seg(disc_e4)),
+                "charge_e6": pa.array(seg(charge_e6)),
+                "n_rows": pa.array(seg(np.ones(qty.size, dtype=np.int64))),
+            }
+        )
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax",
+        ],
+    )
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = ds.groupby("k").aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("base_cents", alias_name="base_cents"),
+        Sum("disc_e4", alias_name="disc_e4"),
+        Sum("charge_e6", alias_name="charge_e6"),
+        Sum("n_rows", alias_name="n_rows"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False).astype("U3")
+        return pa.table(
+            {
+                "l_returnflag": pa.array([s.split("|")[0] for s in k]),
+                "l_linestatus": pa.array([s.split("|")[1] for s in k]),
+                "sum_qty": b["sum_qty"],
+                "sum_base_price": pa.array(
+                    np.round(b["base_cents"].to_numpy() / 100.0, 2)
+                ),
+                "sum_disc_price": pa.array(np.round(b["disc_e4"].to_numpy() / 1e4, 2)),
+                "sum_charge": pa.array(np.round(b["charge_e6"].to_numpy() / 1e6, 2)),
+                "n_rows": b["n_rows"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PRICING_SUMMARY = """SELECT l_returnflag, l_linestatus,
+  SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
+  ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+  ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS sum_disc_price,
+  ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+            * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+            * (100 + CAST(ROUND(l_tax * 100) AS BIGINT))) / 1000000.0, 2) AS sum_charge,
+  COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Broadcast ANTI-join: customers with no URGENT-priority order.
+    Distributed distinct of the (filter-pruned) order custkeys — per-batch
+    unique -> tree combine, no raw order rows move — then the compact key
+    set is broadcast once and customers are filtered via np.isin."""
+    import ray
+
+    from geo_ray.stages import agg as agg_st
+
+    rd = _rd()
+    ok = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"])
+
+    def uniq(b: pa.Table) -> pa.Table:
+        keep = np.asarray(pc.equal(b["o_orderpriority"].combine_chunks(), "1-URGENT"))
+        u = np.unique(b["o_custkey"].to_numpy().astype(np.int64)[keep])
+        return pa.table({"k": pa.array(u), "one": pa.array(np.ones(u.size, dtype=np.int64))})
+
+    distinct = agg_st.tree_max(ok.map_batches(uniq, batch_format="pyarrow"), "k", "one")
+    keys = np.sort(distinct.to_pandas()["k"].to_numpy(np.int64))
+    keys_ref = ray.put(keys)
+
+    def anti(b: pa.Table) -> pa.Table:
+        have = ray.get(keys_ref)
+        ck = b["c_custkey"].to_numpy().astype(np.int64)
+        keep = ~np.isin(ck, have)
+        return b.filter(pa.array(keep)).select(["c_custkey", "c_name"])
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    return cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')"""
+
+
+def q_doc_len_quantiles(sf_dir: str):
+    """Exact per-language length quantiles from a distributed histogram:
+    per-batch (lang, n_chars) bincounts -> groupby sum -> per-language
+    order-statistic interpolation (quantile_cont semantics) over the tiny
+    histogram. No sort shuffle, no raw row ever moves."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        lang = b["lang"].to_numpy(zero_copy_only=False)
+        nc = b["n_chars"].to_numpy().astype(np.int64)
+        key = np.char.add(np.char.add(lang.astype("U8"), "|"), nc.astype("U12"))
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({"lk": pa.array(u.tolist()), "n_partial": pa.array(cnt.astype(np.int64))})
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    hist = ds.groupby("lk").aggregate(Sum("n_partial", alias_name="n"))
+
+    def split(b: pa.Table) -> pa.Table:
+        lk = b["lk"].to_numpy(zero_copy_only=False).astype("U24")
+        parts = np.char.partition(lk, "|")
+        return pa.table(
+            {
+                "lang": pa.array(parts[:, 0].tolist()),
+                "n_chars": pa.array(parts[:, 2].astype(np.int64)),
+                "n": b["n"],
+            }
+        )
+
+    def quantiles(g):
+        import pandas as pd
+
+        g = g.sort_values("n_chars", kind="mergesort")
+        v = g["n_chars"].to_numpy(np.int64)
+        w = g["n"].to_numpy(np.int64)
+        total = int(w.sum())
+        cum = np.cumsum(w)
+
+        def qc(q):
+            # quantile_cont: linear interpolation at rank h = (n-1)*q
+            h = (total - 1) * q
+            lo_rank, frac = int(np.floor(h)), h - np.floor(h)
+            i = int(np.searchsorted(cum, lo_rank + 1))
+            lo_val = v[i]
+            if frac == 0.0:
+                return float(lo_val)
+            j = int(np.searchsorted(cum, lo_rank + 2))
+            return float(lo_val + frac * (v[j] - lo_val))
+
+        return pd.DataFrame(
+            {
+                "lang": [g["lang"].iloc[0]],
+                "n_docs": [total],
+                "p50": [round(qc(0.5), 6)],
+                "p90": [round(qc(0.9), 6)],
+            }
+        )
+
+    return (
+        hist.map_batches(split, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(quantiles, batch_format="pandas")
+    )
+
+
+SQL_DOC_LEN_QUANTILES = """SELECT lang, COUNT(*) AS n_docs,
+  ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+  ROUND(quantile_cont(n_chars, 0.9), 6) AS p90
+FROM documents GROUP BY lang"""
+
+
 def q_event_asof_orders(sf_dir: str):
     """As-of join (an operator Ray Data lacks natively): each event matched
     to its user's most recent order at or before the event time, ties broken
