@@ -125,6 +125,10 @@ def bench_queries(sf_dir: str):
         "embed_dup_pairs": lambda: Q.q_embed_dup_pairs(sf_dir),
         "dist_to_polyline": lambda: Q.q_dist_to_polyline(sf_dir),
         "revenue_by_nation": lambda: Q.q_revenue_by_nation(sf_dir),
+        "pricing_summary": lambda: Q.q_pricing_summary(sf_dir),
+        "event_asof_orders": lambda: Q.q_event_asof_orders(sf_dir),
+        "top_terms": lambda: Q.q_top_terms(sf_dir),
+        "exact_dedup": lambda: Q.q_exact_dedup(sf_dir),
         "cluster_copart": lambda: Q.q_cluster_copart(sf_dir),
     }
 
