@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_asof_orders": Q.q_event_asof_orders,
         "event_sliding_windows": Q.q_event_sliding_windows,
         "top_terms": Q.q_top_terms,
+        "stratified_sample": Q.q_stratified_sample,
+        "dedup_filtered_docs": Q.q_dedup_filtered_docs,
         "order_price_bands": Q.q_order_price_bands,
         "pricing_summary": Q.q_pricing_summary,
         "customers_without_orders": Q.q_customers_without_orders,
@@ -141,6 +143,8 @@ def oracle_sql() -> dict[str, str]:
         "event_asof_orders": Q.SQL_EVENT_ASOF_ORDERS,
         "event_sliding_windows": Q.SQL_EVENT_SLIDING_WINDOWS,
         "top_terms": Q.SQL_TOP_TERMS,
+        "stratified_sample": Q.SQL_STRATIFIED_SAMPLE,
+        "dedup_filtered_docs": Q.SQL_DEDUP_FILTERED_DOCS,
         "order_price_bands": Q.SQL_ORDER_PRICE_BANDS,
         "pricing_summary": Q.SQL_PRICING_SUMMARY,
         "customers_without_orders": Q.SQL_CUSTOMERS_WITHOUT_ORDERS,

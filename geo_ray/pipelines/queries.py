@@ -1023,6 +1023,94 @@ SELECT user_id, CAST(SUM(new_sess) + 1 AS BIGINT) AS n_sessions, COUNT(*) AS n_e
 FROM d GROUP BY user_id"""
 
 
+_STRATA_PERMILLE = {"en": 200, "de": 100}  # default stratum rate: 50/1000
+_STRATA_DEFAULT = 50
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified sample: per-language rates (en 20%, de 10%,
+    others 5%) via the Knuth multiplicative hash of doc_id — reproducible,
+    RNG-free, and exactly SQL-expressible. The per-stratum rate lookup is a
+    tiny in-task dict, no shuffle at all."""
+    def stage(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy().astype(np.int64)
+        lang = b["lang"].to_numpy(zero_copy_only=False)
+        rate = np.full(doc_id.size, _STRATA_DEFAULT, dtype=np.int64)
+        for lg, r in _STRATA_PERMILLE.items():
+            rate[lang == lg] = r
+        keep = (doc_id * 2654435761) % 1000 < rate
+        return b.filter(pa.array(keep)).select(["doc_id", "lang"])
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_STRATIFIED_SAMPLE = f"""SELECT doc_id, lang FROM documents
+WHERE (doc_id * 2654435761) % 1000 <
+  CASE lang {' '.join(f"WHEN '{lg}' THEN {r}" for lg, r in _STRATA_PERMILLE.items())}
+  ELSE {_STRATA_DEFAULT} END"""
+
+
+def q_dedup_filtered_docs(sf_dir: str):
+    """APPLY the exact dedup: emit the surviving corpus (one doc per distinct
+    text, smallest doc_id wins). Plan: hash pass -> coarse-bucket groupby
+    finds the LOSING doc_ids distributed (every non-minimum member of a
+    duplicate hash group — a tiny set relative to the corpus); the loser set
+    broadcasts once and a doc_id-only pruned re-read filters vectorized.
+    The text column never shuffles; no driver-side per-row work."""
+    import ray
+
+    from geo_ray.kernels import strhash
+
+    def hash_stage(b: pa.Table) -> pa.Table:
+        h1, h2, lens = strhash.text_hashes_arrow(b["text"])
+        return pa.table(
+            {
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "len": pa.array(lens),
+                "doc_id": b["doc_id"],
+                "bucket": pa.array(h1 % np.int64(64)),
+            }
+        )
+
+    def losers_bucket(g):
+        import pandas as pd
+
+        h1 = g["h1"].to_numpy()
+        h2 = g["h2"].to_numpy()
+        ln = g["len"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        order = np.lexsort((doc, ln, h2, h1))
+        h1, h2, ln, doc = h1[order], h2[order], ln[order], doc[order]
+        first = np.ones(doc.size, dtype=bool)
+        first[1:] = (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1]) | (ln[1:] != ln[:-1])
+        return pd.DataFrame({"doc_id": doc[~first]})
+
+    ds = _docs_ds(sf_dir).map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
+    losers_ds = ds.groupby("bucket").map_groups(losers_bucket, batch_format="pandas")
+    lp = losers_ds.to_pandas()
+    lose = (
+        np.sort(lp["doc_id"].to_numpy(np.int64))
+        if "doc_id" in lp.columns and len(lp)
+        else np.zeros(0, dtype=np.int64)
+    )
+    lose_ref = ray.put(lose)
+
+    def keep_stage(b: pa.Table) -> pa.Table:
+        lost = ray.get(lose_ref)
+        doc_id = b["doc_id"].to_numpy().astype(np.int64)
+        keep = ~np.isin(doc_id, lost)
+        return b.filter(pa.array(keep))
+
+    out = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return out.map_batches(keep_stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_DEDUP_FILTERED_DOCS = """SELECT doc_id FROM documents
+WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)"""
+
+
 # Overlapping price bands for the 1-D range join: band k covers
 # [k*20000, k*20000 + 50000) dollars, so every order matches 2-3 bands.
 PRICE_BANDS = [(k, k * 20_000, k * 20_000 + 50_000) for k in range(25)]
