@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_counts": Q.q_ivf_counts,
         "ivf_topk": Q.q_ivf_topk,
         "ivf_dup_pairs": Q.q_ivf_dup_pairs,
+        "ivf_centroid_means": Q.q_ivf_centroid_means,
         "event_hourly": Q.q_event_hourly,
         "event_asof_orders": Q.q_event_asof_orders,
         "event_sliding_windows": Q.q_event_sliding_windows,
@@ -139,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": Q.SQL_ANN_TOPK,
         "ivf_topk": Q.SQL_IVF_TOPK,
         "ivf_dup_pairs": Q.SQL_IVF_DUP_PAIRS,
+        "ivf_centroid_means": Q.SQL_IVF_CENTROID_MEANS,
         "event_hourly": Q.SQL_EVENT_HOURLY,
         "event_asof_orders": Q.SQL_EVENT_ASOF_ORDERS,
         "event_sliding_windows": Q.SQL_EVENT_SLIDING_WINDOWS,

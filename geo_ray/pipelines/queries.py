@@ -1398,6 +1398,81 @@ SQL_DOC_LEN_QUANTILES = """SELECT lang, COUNT(*) AS n_docs,
 FROM documents GROUP BY lang"""
 
 
+def q_ivf_centroid_means(sf_dir: str):
+    """The k-means UPDATE step over the IVF partitions: element-wise mean
+    embedding per coarse centroid. Each batch collapses to a (16 x 64)
+    partial-sum matrix + counts (the combiner), the tiny partials tree-sum,
+    and the finish divides — no raw vector ever shuffles. Output long-form
+    (centroid_id, dim, mean) so the SQL twin can zip-unnest."""
+    from geo_ray.stages import ann as ann_st
+
+    N_CENT, DIM = 16, 64
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = ann_st.ivf_assign(b)
+        cent = t["centroid_id"].to_numpy()
+        v = ann_st._embeddings_to_matrix(b["embedding"])
+        sums = np.zeros((N_CENT, DIM), dtype=np.float64)
+        np.add.at(sums, cent, v)
+        counts = np.bincount(cent, minlength=N_CENT).astype(np.int64)
+        cid = np.repeat(np.arange(N_CENT, dtype=np.int64), DIM)
+        dim = np.tile(np.arange(DIM, dtype=np.int64), N_CENT)
+        return pa.table(
+            {
+                "key": pa.array(cid * DIM + dim),
+                "s": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(counts, DIM)),
+            }
+        )
+
+    from geo_ray.stages import agg as agg_st
+
+    ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def combine(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy()
+        s = b["s"].to_numpy()
+        n = b["n"].to_numpy()
+        order = np.argsort(k, kind="mergesort")
+        k, s, n = k[order], s[order], n[order]
+        u, starts = np.unique(k, return_index=True)
+        return pa.table(
+            {
+                "key": pa.array(u),
+                "s": pa.array(np.add.reduceat(s, starts)),
+                "n": pa.array(np.add.reduceat(n, starts)),
+            }
+        )
+
+    parts = parts.repartition(4).map_batches(
+        combine, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    parts = parts.repartition(1).map_batches(
+        combine, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy()
+        s = b["s"].to_numpy()
+        n = b["n"].to_numpy()
+        keep = n > 0
+        k, s, n = k[keep], s[keep], n[keep]
+        return pa.table(
+            {
+                "centroid_id": pa.array(k // 64),
+                "dim": pa.array(k % 64),
+                "mean_v": pa.array(np.round(s / n, 6)),
+            }
+        )
+
+    return parts.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+# SQL_IVF_CENTROID_MEANS is defined next to the other IVF SQL helpers below
+# (it needs _sql_ivf_assigned, which is defined later in the module).
+
+
 def q_event_asof_orders(sf_dir: str):
     """As-of join (an operator Ray Data lacks natively): each event matched
     to its user's most recent order at or before the event time, ties broken
@@ -1861,6 +1936,16 @@ def _sql_ivf_topk() -> str:
 
 
 SQL_IVF_TOPK = _sql_ivf_topk()
+
+SQL_IVF_CENTROID_MEANS = f"""WITH {_sql_ivf_assigned()},
+e AS (
+  SELECT centroid_id,
+         unnest(CAST(embedding AS DOUBLE[])) AS v,
+         unnest(range(64)) AS dim
+  FROM assigned
+)
+SELECT centroid_id, dim, ROUND(AVG(v), 6) AS mean_v
+FROM e GROUP BY centroid_id, dim"""
 
 
 def q_ivf_dup_pairs(sf_dir: str):
