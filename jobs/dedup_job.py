@@ -1,0 +1,119 @@
+"""Corpus dedup-signature job — the ``ray job submit`` entrypoint for the
+training-data side (mirror of jobs/flagship_job.py for the geo side).
+
+    ray job submit --working-dir . -- python jobs/dedup_job.py \
+        --sf-dir /root/testdata/sf0.001 --out /tmp/dedup_out --shards 8
+
+Per shard, every document is signed for the whole dedup family in one pass —
+exact-dup keys (h1, h2, len), SimHash64, and the MinHash signature bytes —
+and written as one partitioned parquet directory per shard with per-partition
+lineage + row-count metrics in ``<out>/_manifest.jsonl``. Re-submitting after
+a failure skips finished partitions (geo_ray/state/checkpoint.py), which is
+what makes a 100 TB signing run restartable.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_unit(sf_dir: str):
+    """Returns a builder closure: fragments -> signature Dataset."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    def build(frags):
+        shard_ids = [f.params["shard"] for f in frags]
+        n_shards = frags[0].params["n_shards"]
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+        def sign(batch: pa.Table) -> pa.Table:
+            from geo_ray.kernels import strhash
+            from geo_ray.stages import dedup
+
+            doc_id = batch["doc_id"].to_numpy().astype(np.int64)
+            # deterministic shard ownership: a shard signs only its slice
+            own = np.isin((doc_id % n_shards), shard_ids)
+            if not own.any():
+                return pa.table(
+                    {
+                        "part_id": pa.array([], pa.string()),
+                        "doc_id": pa.array([], pa.int64()),
+                        "h1": pa.array([], pa.int64()),
+                        "h2": pa.array([], pa.int64()),
+                        "len": pa.array([], pa.int64()),
+                        "simhash": pa.array([], pa.int64()),
+                        "minhash_sig": pa.array([], pa.binary()),
+                    }
+                )
+            b = batch.filter(pa.array(own))
+            doc_id = b["doc_id"].to_numpy().astype(np.int64)
+            h1, h2, lens = strhash.text_hashes_arrow(b["text"])
+            sims = dedup.simhash64(b)["simhash"].to_numpy()
+            sigs = dedup.batch_signatures(b["text"])
+            part = np.char.add("shard", (doc_id % n_shards).astype("U4"))
+            return pa.table(
+                {
+                    "part_id": pa.array(part.tolist()),
+                    "doc_id": pa.array(doc_id),
+                    "h1": pa.array(h1),
+                    "h2": pa.array(h2),
+                    "len": pa.array(lens),
+                    "simhash": pa.array(sims),
+                    "minhash_sig": pa.array([s.tobytes() for s in sigs], pa.binary()),
+                }
+            )
+
+        return ds.map_batches(sign, batch_format="pyarrow", zero_copy_batch=True)
+
+    return build
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--shards", type=int, default=8)
+    ap.add_argument("--unit-size", type=int, default=4)
+    ap.add_argument("--max-units", type=int, default=None)
+    ap.add_argument("--num-cpus", type=int, default=None)
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        kw = {"num_cpus": args.num_cpus} if args.num_cpus else {}
+        ray.init(address=os.environ.get("RAY_ADDRESS", "local"), include_dashboard=False, **kw)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from geo_ray.state.checkpoint import Fragment, run_resumable
+
+    fragments = [
+        Fragment(
+            part_id=f"shard{s}",
+            input_files=[f"{args.sf_dir}/documents.parquet"],
+            params={"shard": s, "n_shards": args.shards},
+        )
+        for s in range(args.shards)
+    ]
+    summary = run_resumable(
+        fragments,
+        build_unit(args.sf_dir),
+        args.out,
+        unit_size=args.unit_size,
+        max_units=args.max_units,
+    )
+    print(json.dumps(summary))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -93,3 +93,27 @@ def test_tiles_job_resume(ray_session, tmp_path):
 
     for z in (6, 10):
         assert pq.read_table(os.path.join(out, f"part_id=z{z}")).num_rows > 0
+
+
+def test_dedup_job_unit_and_resume(ray_session, tmp_path):
+    """The dedup-signature job builder writes partitioned output + manifest
+    and a re-run skips all finished partitions."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from geo_ray.state.checkpoint import Fragment, run_resumable
+    from jobs.dedup_job import build_unit
+
+    out = str(tmp_path / "dedup_out")
+    frags = [
+        Fragment(
+            part_id=f"shard{s}",
+            input_files=["/root/testdata/sf0.001/documents.parquet"],
+            params={"shard": s, "n_shards": 4},
+        )
+        for s in range(4)
+    ]
+    s1 = run_resumable(frags, build_unit("/root/testdata/sf0.001"), out, unit_size=2)
+    assert s1["completed_total"] == 4 and s1["rows_out"] == 500
+    s2 = run_resumable(frags, build_unit("/root/testdata/sf0.001"), out, unit_size=2)
+    assert s2["skipped"] == 4 and s2["rows_out"] == 0

@@ -85,3 +85,32 @@ def test_simplify_mask_monotone_and_endpoints(coords):
         assert not (masks[z] & ~masks[z + 1]).any(), f"z{z} keeps a vertex z{z+1} drops"
     for m in masks:
         assert m[0] and m[-1]
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.text(max_size=80), min_size=1, max_size=30))
+def test_text_hashes_arrow_equals_scalar(texts):
+    import pyarrow as pa
+
+    h1, h2, lens = strhash.text_hashes_arrow(pa.array(texts, type=pa.string()))
+    for i, t in enumerate(texts):
+        assert lens[i] == len(t.encode("utf-8"))
+        assert int(np.uint64(h1[i])) == hash_str64(t)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=6),
+    st.integers(min_value=0, max_value=200),
+)
+def test_tile_iterator_decrement_inverts_increment(z, steps):
+    from geo_ray.kernels.tile_iter import TileIterator
+
+    it = TileIterator(0, 0, z)
+    seen = [it.tile]
+    for _ in range(steps):
+        it.increment()
+        seen.append(it.tile)
+    for want in reversed(seen[:-1]):
+        it.decrement()
+        assert it.tile == want
