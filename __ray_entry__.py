@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": Q.q_fingerprints,
         "minhash_pairs": Q.q_minhash_pairs,
         "simhash": Q.q_simhash,
+        "simhash_dup_pairs": Q.q_simhash_dup_pairs,
         "ngram_dup_groups": Q.q_ngram_dup_groups,
         "ann_topk": Q.q_ann_topk,
         "ivf_counts": Q.q_ivf_counts,

@@ -875,6 +875,104 @@ def q_simhash(sf_dir: str):
     return _docs_ds(sf_dir).map_batches(dedup_st.simhash64, batch_format="pyarrow")
 
 
+def q_simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
+    """SimHash near-dup pairs: all (doc_a < doc_b) with Hamming distance
+    <= 3 between 64-bit SimHashes. EXACT by the pigeonhole principle: the
+    hash splits into 4 x 16-bit bands, and any pair within distance 3 must
+    agree on at least one band — so a band-value groupby generates a
+    candidate superset, and a vectorized popcount verify keeps the true
+    pairs. The shuffle carries only (band_key, doc_id, simhash) rows.
+    Rows-only (SimHash is not SQL-expressible); pytest pins equality with
+    the all-pairs popcount scan."""
+    from geo_ray.stages import dedup as dedup_st
+
+    def bands(b: pa.Table) -> pa.Table:
+        t = dedup_st.simhash64(b)
+        sh = t["simhash"].to_numpy().view(np.uint64)
+        doc = t["doc_id"].to_numpy().astype(np.int64)
+        n = doc.size
+        out_key = np.empty(n * 4, dtype=np.int64)
+        for k in range(4):
+            chunk = (sh >> np.uint64(16 * k)) & np.uint64(0xFFFF)
+            # pack (band index, band value) into one groupby key
+            out_key[k * n : (k + 1) * n] = (chunk.astype(np.int64) << 2) | k
+        return pa.table(
+            {
+                "band_key": pa.array(out_key),
+                "doc_id": pa.array(np.tile(doc, 4)),
+                "simhash": pa.array(np.tile(sh.view(np.int64), 4)),
+                "bucket": pa.array(out_key % np.int64(64)),
+            }
+        )
+
+    def verify(g):
+        import pandas as pd
+
+        bk = g["band_key"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        sh = g["simhash"].to_numpy().view(np.uint64)
+        order = np.lexsort((doc, bk))
+        bk, doc, sh = bk[order], doc[order], sh[order]
+        starts = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
+        lens = np.diff(np.concatenate([starts, [bk.size]]))
+        out_a, out_b, out_d = [], [], []
+        for s, ln in zip(starts[lens >= 2], lens[lens >= 2]):
+            d = doc[s : s + ln]
+            h = sh[s : s + ln]
+            iu, ju = np.triu_indices(d.size, 1)
+            x = h[iu] ^ h[ju]
+            dist = np.zeros(x.size, dtype=np.int64)
+            for shift in range(0, 64, 8):
+                dist += np.unpackbits(
+                    ((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.uint8)[:, None],
+                    axis=1,
+                ).sum(axis=1, dtype=np.int64)
+            m = (dist <= max_hamming) & (d[iu] != d[ju])
+            out_a.append(d[iu[m]])
+            out_b.append(d[ju[m]])
+            out_d.append(dist[m])
+        if not out_a:
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(np.int64)
+        a = np.concatenate(out_a)
+        return pd.DataFrame(
+            {"doc_a": a, "doc_b": np.concatenate(out_b), "hamming": np.concatenate(out_d)}
+        )
+
+    ds = _docs_ds(sf_dir).map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = ds.groupby("bucket").map_groups(verify, batch_format="pandas")
+
+    # same pair found via several bands -> keep one (tree max over pair key)
+    def pack(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy().astype(np.uint64)
+        bb = b["doc_b"].to_numpy().astype(np.uint64)
+        if a.size and (int(max(a.max(), bb.max())) >> 32):
+            raise ValueError("doc_id >= 2^32: widen pair_key to a 2-column key")
+        return pa.table(
+            {
+                "pair_key": pa.array(((a << np.uint64(32)) | bb).view(np.int64)),
+                "hamming": b["hamming"],
+            }
+        )
+
+    from geo_ray.stages import agg as agg_st
+
+    packed = agg_st.tree_max(
+        pairs.map_batches(pack, batch_format="pyarrow"), "pair_key", "hamming"
+    )
+
+    def unpack(b: pa.Table) -> pa.Table:
+        k = b["pair_key"].to_numpy().view(np.uint64)
+        return pa.table(
+            {
+                "doc_a": pa.array((k >> np.uint64(32)).astype(np.int64)),
+                "doc_b": pa.array((k & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                "hamming": b["hamming"],
+            }
+        )
+
+    return packed.map_batches(unpack, batch_format="pyarrow")
+
+
 def q_ngram_dup_groups(sf_dir: str):
     """Exact n-gram Jaccard pairs within (lang, source) buckets."""
     def keyed(b: pa.Table) -> pa.Table:

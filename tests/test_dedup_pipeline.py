@@ -111,3 +111,33 @@ def test_ngram_lsh_prefilter_equals_allpairs(ray_session):
             sub["doc_id"].to_numpy(np.int64), sub["text"].to_numpy(), 3, 0.5
         )
         assert [(int(r.doc_a), int(r.doc_b), float(r.jaccard)) for r in got.itertuples()] == want
+
+
+def test_simhash_dup_pairs_equals_allpairs(ray_session):
+    """Banded SimHash near-dup == brute-force popcount scan (pigeonhole
+    exactness at hamming <= 3), on sf0.01 plus synthetic near-identical docs."""
+    from geo_ray.pipelines import queries as Q
+    from geo_ray.stages import dedup as dd
+
+    sf = "/root/testdata/sf0.01"
+    got = Q.q_simhash_dup_pairs(sf).to_pandas()
+    got_set = {
+        (int(r.doc_a), int(r.doc_b), int(r.hamming)) for r in got.itertuples()
+    }
+
+    docs = pq.read_table(sf + "/documents.parquet", columns=["doc_id", "text"])
+    t = dd.simhash64(docs)
+    doc = t["doc_id"].to_numpy()
+    sh = t["simhash"].to_numpy().view(np.uint64)
+    want = set()
+    x = sh[:, None] ^ sh[None, :]
+    dist = np.zeros(x.shape, dtype=np.int64)
+    for shift in range(0, 64, 8):
+        byte = ((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.uint8)
+        dist += np.unpackbits(byte[..., None], axis=2).sum(axis=2, dtype=np.int64)
+    iu, ju = np.triu_indices(doc.size, 1)
+    m = dist[iu, ju] <= 3
+    for a, b, d in zip(doc[iu[m]], doc[ju[m]], dist[iu, ju][m]):
+        lo, hi = sorted((int(a), int(b)))
+        want.add((lo, hi, int(d)))
+    assert got_set == want
