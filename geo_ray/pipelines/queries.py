@@ -1679,7 +1679,9 @@ def q_top_terms(sf_dir: str):
         lang_of = np.repeat(lang, counts)
         keep = flat != ""
         flat, lang_of = flat[keep], lang_of[keep]
-        key = np.char.add(np.char.add(lang_of.astype("U8"), " "), flat.astype("U64"))
+        # width sized to the actual longest token — no silent truncation
+        tok_w = max(1, max((len(t) for t in flat), default=1))
+        key = np.char.add(np.char.add(lang_of.astype("U8"), " "), flat.astype(f"U{tok_w}"))
         u, cnt = np.unique(key, return_counts=True)
         return pa.table(
             {"lt": pa.array(u.tolist()), "n_partial": pa.array(cnt.astype(np.int64))}
@@ -1691,7 +1693,8 @@ def q_top_terms(sf_dir: str):
 
     def split_key(b: pa.Table) -> pa.Table:
         lt = b["lt"].to_numpy(zero_copy_only=False)
-        parts = np.char.partition(lt.astype("U80"), " ")
+        key_w = max(1, max((len(t) for t in lt), default=1))
+        parts = np.char.partition(lt.astype(f"U{key_w}"), " ")
         return pa.table(
             {
                 "lang": pa.array(parts[:, 0].tolist()),

@@ -371,8 +371,12 @@ def cluster_copartition(points_ds, max_dist: float = 500.0, zoom: int | None = N
     # Broadcast it once (ray.put of two sorted arrays) and attach via
     # np.searchsorted; at extreme scale swap for a gid-keyed shuffle join.
     mp = stars.to_pandas()
-    nodes = mp["u"].to_numpy(np.int64)
-    roots = mp["v"].to_numpy(np.int64)
+    if "u" in mp.columns and len(mp):
+        nodes = mp["u"].to_numpy(np.int64)
+        roots = mp["v"].to_numpy(np.int64)
+    else:  # no SL pair anywhere: every point is its own component
+        nodes = np.zeros(0, dtype=np.int64)
+        roots = np.zeros(0, dtype=np.int64)
     order = np.argsort(nodes, kind="mergesort")
     comp_ref = ray.put((nodes[order], roots[order]))
 

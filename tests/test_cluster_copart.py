@@ -90,3 +90,22 @@ def test_resolve_components_paths_agree(ray_session):
     nodes = set(e_u.tolist()) | set(e_v.tolist())
     for n in nodes:
         assert m_small.get(n, n) == m_big.get(n, n)
+
+
+def test_cluster_copart_no_pairs(ray_session):
+    """Points too far apart to cluster: every point is its own component."""
+    import pandas as pd
+    import ray.data as rd
+
+    from geo_ray.stages.cluster_copart import cluster_copartition
+
+    pts = pd.DataFrame(
+        {
+            "gid": np.arange(5, dtype=np.int64),
+            "lat": np.array([0.0, 10.0, 20.0, 30.0, 40.0]),
+            "lng": np.array([0.0, 10.0, 20.0, 30.0, 40.0]),
+        }
+    )
+    out = cluster_copartition(rd.from_pandas(pts), max_dist=100.0).to_pandas()
+    got = dict(zip(out["gid"].astype(int), out["cluster_rep"].astype(int)))
+    assert got == {i: i for i in range(5)}
