@@ -19,8 +19,13 @@ keys at once with a vectorized segmented scan — no per-key or per-row Python:
    dropped (inner as-of).
 
 The partitioning assumption: all rows of one key fit one bucket group (the
-same assumption every hash join makes); skewed keys can be salted on the
-LEFT side only, since the right side must be complete per group.
+same assumption every hash join makes). Skewed keys are handled by LEFT-side
+salting (``hot_keys``/``n_salt``): left rows of a hot key spread over
+``n_salt`` sub-buckets while the hot key's RIGHT rows replicate to every
+sub-bucket (the right side must be complete wherever any of its left rows
+land) — output is identical to unsalted, one hot user no longer serializes
+on one reducer. Same replicate-the-build-side trick as the tile/PIP salting
+(stages/copartition.py).
 """
 
 from __future__ import annotations
@@ -33,7 +38,8 @@ LEFT, RIGHT = 1, 0
 
 
 def tag_side(batch: pa.Table, key: str, time: str, side: int, carry: list[str],
-             null_cols: dict, tiebreak: str | None = None) -> pa.Table:
+             null_cols: dict, tiebreak: str | None = None,
+             hot_keys=None, n_salt: int = 8) -> pa.Table:
     """Normalize one side to (bucket, key, t, side, tie, l_*..., r_*...).
 
     ``null_cols`` maps the OTHER side's prefixed carry names to their Arrow
@@ -50,15 +56,39 @@ def tag_side(batch: pa.Table, key: str, time: str, side: int, carry: list[str],
         else np.zeros(k.size, dtype=np.int64)
     )
     n = k.size
+    bucket = (k % N_BUCKETS).astype(np.int64)
+    row_idx = None
+    if hot_keys is not None and len(hot_keys):
+        hot = np.isin(k, hot_keys)
+        salt_base = N_BUCKETS + (k % N_BUCKETS) * n_salt
+        cold = np.flatnonzero(~hot)
+        rows = [cold]
+        buckets = [bucket[cold]]
+        if side == LEFT:
+            hl = np.flatnonzero(hot)
+            rows.append(hl)
+            buckets.append(salt_base[hl] + (tie[hl] + t[hl]) % n_salt)
+        else:  # right rows of a hot key replicate to every salt
+            hr = np.flatnonzero(hot)
+            rows.append(np.repeat(hr, n_salt))
+            buckets.append(
+                np.repeat(salt_base[hr], n_salt)
+                + np.tile(np.arange(n_salt, dtype=np.int64), hr.size)
+            )
+        row_idx = np.concatenate(rows)
+        bucket = np.concatenate(buckets)
+        k, t, tie = k[row_idx], t[row_idx], tie[row_idx]
+        n = k.size
     cols = {
-        "bucket": pa.array((k % N_BUCKETS).astype(np.int64)),
+        "bucket": pa.array(bucket),
         "k": pa.array(k),
         "t": pa.array(t),
         "side": pa.array(np.full(n, side, dtype=np.int64)),
         "tie": pa.array(tie),
     }
     own_prefix = "l" if side == LEFT else "r"
-    own = {f"{own_prefix}_{c}": batch[c] for c in carry}
+    src = batch if row_idx is None else batch.take(pa.array(row_idx))
+    own = {f"{own_prefix}_{c}": src[c] for c in carry}
     for name in sorted(own.keys() | null_cols.keys()):
         cols[name] = own[name] if name in own else pa.nulls(n, type=null_cols[name])
     return pa.table(cols)
@@ -110,8 +140,12 @@ def asof_join(
     left_carry: list[str],
     right_carry: list[str],
     right_tiebreak: str | None = None,
+    hot_keys=None,
+    n_salt: int = 8,
 ):
-    """Inner as-of join of two Datasets (see module docstring)."""
+    """Inner as-of join of two Datasets (see module docstring). Pass
+    ``hot_keys`` (array of skewed key values) to salt-split their left rows
+    over ``n_salt`` sub-buckets — output identical to unsalted."""
     def _arrow_types(ds, cols, prefix):
         base = ds.schema().base_schema
         if isinstance(base, pa.Schema):
@@ -130,6 +164,8 @@ def asof_join(
             "side": LEFT,
             "carry": left_carry,
             "null_cols": r_types,
+            "hot_keys": hot_keys,
+            "n_salt": n_salt,
         },
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -143,6 +179,8 @@ def asof_join(
             "carry": right_carry,
             "null_cols": l_types,
             "tiebreak": right_tiebreak,
+            "hot_keys": hot_keys,
+            "n_salt": n_salt,
         },
         batch_format="pyarrow",
         zero_copy_batch=True,

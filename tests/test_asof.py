@@ -100,3 +100,34 @@ def test_asof_matches_pandas_merge_asof(rd):
     assert set(got) == set(want)
     for lid, (rid, _) in got.items():
         assert want[lid][0] == rid
+
+
+def test_asof_salted_identical(rd):
+    """Hot-key salting (left rows spread, right rows replicated per salt)
+    produces bit-identical results to the unsalted join."""
+    from geo_ray.stages import asof
+
+    rng = np.random.default_rng(5)
+    # key 7 is hot: half of all left rows
+    k_left = np.where(rng.random(600) < 0.5, 7, rng.integers(0, 20, 600))
+    left = pd.DataFrame(
+        {"k": k_left, "t": rng.integers(0, 5_000, 600), "lid": np.arange(600)}
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 20, 200),
+            "t": rng.integers(0, 5_000, 200),
+            "rid": np.arange(200),
+        }
+    ).drop_duplicates(["k", "t"]).reset_index(drop=True)
+
+    def run(**kw):
+        out = asof.asof_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            "k", "t", "k", "t", ["lid"], ["rid"], right_tiebreak="rid", **kw
+        ).to_pandas()
+        return sorted(zip(out["l_lid"].astype(int), out["r_rid"].astype(int)))
+
+    plain = run()
+    salted = run(hot_keys=np.array([7]), n_salt=4)
+    assert plain == salted and len(plain) > 100
