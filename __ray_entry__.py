@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_centroid_means": Q.q_ivf_centroid_means,
         "event_hourly": Q.q_event_hourly,
         "event_asof_orders": Q.q_event_asof_orders,
+        "user_top_events": Q.q_user_top_events,
+        "tile_pyramid_counts": Q.q_tile_pyramid_counts,
         "event_sliding_windows": Q.q_event_sliding_windows,
         "top_terms": Q.q_top_terms,
         "stratified_sample": Q.q_stratified_sample,
@@ -144,6 +146,8 @@ def oracle_sql() -> dict[str, str]:
         "ivf_centroid_means": Q.SQL_IVF_CENTROID_MEANS,
         "event_hourly": Q.SQL_EVENT_HOURLY,
         "event_asof_orders": Q.SQL_EVENT_ASOF_ORDERS,
+        "user_top_events": Q.SQL_USER_TOP_EVENTS,
+        "tile_pyramid_counts": Q.SQL_TILE_PYRAMID_COUNTS,
         "event_sliding_windows": Q.SQL_EVENT_SLIDING_WINDOWS,
         "top_terms": Q.SQL_TOP_TERMS,
         "stratified_sample": Q.SQL_STRATIFIED_SAMPLE,

@@ -1726,6 +1726,117 @@ SELECT lang, tok, n FROM (
 ) WHERE rnk <= 10"""
 
 
+def q_user_top_events(sf_dir: str):
+    """Windowed rank: top-3 events per user by (value desc, event_id asc).
+    Low-cardinality hash-bucket groupby; within a bucket ALL users rank at
+    once — lexsort by (user, -value, id), segmented cumcount, keep rank <= 3.
+    No per-user UDF calls."""
+    N_B = 64
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.int64)
+        return b.append_column(
+            "bucket", pa.array(((uid * 2654435761) % N_B).astype(np.int64))
+        )
+
+    def topk_bucket(g):
+        import pandas as pd
+
+        user = g["user_id"].to_numpy()
+        val = g["value"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, -val, user))
+        user, val, eid = user[order], val[order], eid[order]
+        new_user = np.ones(user.size, dtype=bool)
+        new_user[1:] = user[1:] != user[:-1]
+        starts = np.flatnonzero(new_user)
+        rank = np.arange(user.size, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [user.size]]))
+        )
+        keep = rank < 3
+        return pd.DataFrame(
+            {
+                "user_id": user[keep],
+                "event_id": eid[keep],
+                "value": np.round(val[keep], 6),
+                "rnk": rank[keep] + 1,
+            }
+        )
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"])
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("bucket").map_groups(topk_bucket, batch_format="pandas")
+
+
+SQL_USER_TOP_EVENTS = """SELECT user_id, event_id, ROUND(value, 6) AS value,
+  CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT user_id, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rnk
+  FROM events
+) WHERE rnk <= 3"""
+
+
+def q_tile_pyramid_counts(sf_dir: str, z_min: int = 4, z_max: int = 14):
+    """Tile PYRAMID rollup: point counts per tile at every zoom z4..z14 in
+    one pass — each point explodes to its ancestor chain (pure bit shifts,
+    tile.h parent semantics), each batch pre-collapses to partial counts per
+    packed (z,x,y) key, and one bounded-domain groupby finishes. The
+    vectorized twin of the make_tile_pyramid traversal."""
+    from ray.data.aggregate import Sum
+
+    from geo_ray.kernels import tile as tile_k
+
+    levels = np.arange(z_min, z_max + 1, dtype=np.int64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy().astype(np.int64)
+        _, _, lat, lng = derive.derive_points(doc_id)
+        tx, ty = tile_k.latlng_tile(lat, lng, z_max)
+        tx = tx.astype(np.int64)
+        ty = ty.astype(np.int64)
+        keys = []
+        for z in levels:
+            sh = int(z_max - z)
+            keys.append(tile_k.pack_key(tx >> sh, ty >> sh, np.full(tx.size, z)).view(np.int64))
+        key = np.concatenate(keys)
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({"tkey": pa.array(u), "n_partial": pa.array(cnt.astype(np.int64))})
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = parts.groupby("tkey").aggregate(Sum("n_partial", alias_name="n_points"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        x, y, z = tile_k.unpack_key(b["tkey"].to_numpy().view(np.uint64))
+        return pa.table(
+            {
+                "zoom": pa.array(z),
+                "tile_x": pa.array(x),
+                "tile_y": pa.array(y),
+                "n_points": b["n_points"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_tile_pyramid_counts(z_min: int = 4, z_max: int = 14) -> str:
+    per_level = "\nUNION ALL\n".join(
+        f"""SELECT {z} AS zoom,
+  ({sql_pixel_x('lng', z_max, 4096)} // 4096) // {1 << (z_max - z)} AS tile_x,
+  ({sql_pixel_y('lat', z_max, 4096)} // 4096) // {1 << (z_max - z)} AS tile_y,
+  COUNT(*) AS n_points
+FROM points GROUP BY 1, 2, 3"""
+        for z in range(z_min, z_max + 1)
+    )
+    return f"{POINTS_CTE}\n{per_level}"
+
+
+SQL_TILE_PYRAMID_COUNTS = _sql_tile_pyramid_counts()
+
+
 # ---------------------------------------------------------------------------
 # tile-assembly pipeline (SURVEY.md §3.3; rows-only — payload is engine format)
 # ---------------------------------------------------------------------------
