@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pipeline_salted": Q.q_tile_pipeline_salted,
         # multimodal media (stub decode; real Arrow/actor plumbing)
         "media_features": Q.q_media_features,
+        "media_refs": Q.q_media_refs,
         # training-data pipeline ops
         "token_counts": Q.q_token_counts,
         "token_counts_bpe": Q.q_token_counts_bpe,
@@ -134,6 +135,7 @@ def oracle_sql() -> dict[str, str]:
         "flagship": Q.SQL_FLAGSHIP,
         "spans_shape": Q.SQL_SPANS_SHAPE,
         "media_features": Q.SQL_MEDIA_FEATURES,
+        "media_refs": Q.SQL_MEDIA_REFS,
         "token_counts": Q.SQL_TOKEN_COUNTS,
         "token_counts_bpe": Q.SQL_TOKEN_COUNTS_BPE,
         "quality_scores": Q.SQL_QUALITY_SCORES,

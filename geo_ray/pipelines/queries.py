@@ -1726,6 +1726,46 @@ SELECT lang, tok, n FROM (
 ) WHERE rnk <= 10"""
 
 
+def q_media_refs(sf_dir: str):
+    """Explode the MEDIA spans of the interleaved payload into a media table
+    (doc_id, media_ref, span_offset) — the multimodal side of the spans
+    contract, read straight off the struct children (vectorized, zero
+    Python per span). Oracle: the span layout is deterministic, so the
+    media table is arithmetically derivable."""
+    from geo_ray.pipelines import flagship as fl
+
+    def stage(b: pa.Table) -> pa.Table:
+        spans = b["spans"]
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        offs = np.asarray(spans.offsets).astype(np.int64)
+        flat = spans.flatten()
+        is_img = np.asarray(pc.equal(flat.field("kind"), "image"))
+        sel = np.flatnonzero(is_img)
+        doc_of = np.repeat(
+            np.arange(b.num_rows, dtype=np.int64), np.diff(offs)
+        )[sel]
+        return pa.table(
+            {
+                "doc_id": pc.take(b["doc_id"].combine_chunks(), pa.array(doc_of)),
+                "media_ref": pc.take(flat.field("media_ref"), pa.array(sel)),
+                "span_offset": pa.array(
+                    np.asarray(flat.field("offset"))[sel].astype(np.int64)
+                ),
+            }
+        )
+
+    return fl.documents_with_spans(sf_dir).map_batches(
+        stage, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_MEDIA_REFS = """SELECT doc_id,
+  'media://img/' || CAST(doc_id AS VARCHAR) AS media_ref,
+  CAST(1 AS BIGINT) AS span_offset
+FROM documents WHERE doc_id % 3 = 0"""
+
+
 def q_user_top_events(sf_dir: str):
     """Windowed rank: top-3 events per user by (value desc, event_id asc).
     Low-cardinality hash-bucket groupby; within a bucket ALL users rank at
