@@ -805,8 +805,10 @@ def q_exact_dedup(sf_dir: str):
             }
         )
 
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
     ds = _docs_ds(sf_dir).map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
-    out = ds.groupby(["h1", "h2", "len"]).aggregate(
+    out = coalesce_for_shuffle(ds).groupby(["h1", "h2", "len"]).aggregate(
         Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_copies")
     )
     return out.select_columns(["keep_doc_id", "n_copies"])
@@ -1059,9 +1061,11 @@ def q_event_hourly(sf_dir: str):
         )
 
     rd = _rd()
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id", "value"])
     ds = ds.map_batches(stage, batch_format="pyarrow")
-    out = ds.groupby(["user_id", "hour_id"]).aggregate(
+    out = coalesce_for_shuffle(ds).groupby(["user_id", "hour_id"]).aggregate(
         Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
     )
 
@@ -1115,7 +1119,11 @@ def q_event_sessions(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
     ds = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-    return ds.groupby("bucket").map_groups(sess_bucket, batch_format="pandas")
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
+    return coalesce_for_shuffle(ds).groupby("bucket").map_groups(
+        sess_bucket, batch_format="pandas"
+    )
 
 
 SQL_EVENT_SESSIONS = """WITH d AS (
@@ -1193,7 +1201,11 @@ def q_dedup_filtered_docs(sf_dir: str):
         return pd.DataFrame({"doc_id": doc[~first]})
 
     ds = _docs_ds(sf_dir).map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
-    losers_ds = ds.groupby("bucket").map_groups(losers_bucket, batch_format="pandas")
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
+    losers_ds = coalesce_for_shuffle(ds).groupby("bucket").map_groups(
+        losers_bucket, batch_format="pandas"
+    )
     lp = losers_ds.to_pandas()
     lose = (
         np.sort(lp["doc_id"].to_numpy(np.int64))
@@ -1304,7 +1316,9 @@ def q_order_price_bands(sf_dir: str):
     rd = _rd()
     pts = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
     pts = pts.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
-    both = pts.union(rd.from_arrow(band_rows()))
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
+    both = coalesce_for_shuffle(pts.union(rd.from_arrow(band_rows())))
     return both.groupby("bucket").map_groups(refine, batch_format="pandas")
 
 
@@ -1356,8 +1370,10 @@ def q_pricing_summary(sf_dir: str):
             "l_discount", "l_tax",
         ],
     )
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
     ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    agg = ds.groupby("k").aggregate(
+    agg = coalesce_for_shuffle(ds).groupby("k").aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
         Sum("base_cents", alias_name="base_cents"),
         Sum("disc_e4", alias_name="disc_e4"),
@@ -1447,8 +1463,10 @@ def q_doc_len_quantiles(sf_dir: str):
         return pa.table({"lk": pa.array(u.tolist()), "n_partial": pa.array(cnt.astype(np.int64))})
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "n_chars"])
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
     ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    hist = ds.groupby("lk").aggregate(Sum("n_partial", alias_name="n"))
+    hist = coalesce_for_shuffle(ds).groupby("lk").aggregate(Sum("n_partial", alias_name="n"))
 
     def split(b: pa.Table) -> pa.Table:
         lk = b["lk"].to_numpy(zero_copy_only=False).astype("U24")
@@ -1654,8 +1672,10 @@ def q_event_sliding_windows(sf_dir: str):
 
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "value"])
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
     ds = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-    out = ds.groupby("window_start").aggregate(
+    out = coalesce_for_shuffle(ds).groupby("window_start").aggregate(
         Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
     )
 
@@ -1695,8 +1715,10 @@ def q_top_terms(sf_dir: str):
         )
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
     ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    agg = ds.groupby("lt").aggregate(Sum("n_partial", alias_name="n"))
+    agg = coalesce_for_shuffle(ds).groupby("lt").aggregate(Sum("n_partial", alias_name="n"))
 
     def split_key(b: pa.Table) -> pa.Table:
         lt = b["lt"].to_numpy(zero_copy_only=False)
@@ -1813,7 +1835,11 @@ def q_user_top_events(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"])
     ds = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-    return ds.groupby("bucket").map_groups(topk_bucket, batch_format="pandas")
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
+    return coalesce_for_shuffle(ds).groupby("bucket").map_groups(
+        topk_bucket, batch_format="pandas"
+    )
 
 
 SQL_USER_TOP_EVENTS = """SELECT user_id, event_id, ROUND(value, 6) AS value,
@@ -1852,8 +1878,10 @@ def q_tile_pyramid_counts(sf_dir: str, z_min: int = 4, z_max: int = 14):
         return pa.table({"tkey": pa.array(u), "n_partial": pa.array(cnt.astype(np.int64))})
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
     parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    agg = parts.groupby("tkey").aggregate(Sum("n_partial", alias_name="n_points"))
+    agg = coalesce_for_shuffle(parts).groupby("tkey").aggregate(Sum("n_partial", alias_name="n_points"))
 
     def finish(b: pa.Table) -> pa.Table:
         x, y, z = tile_k.unpack_key(b["tkey"].to_numpy().view(np.uint64))

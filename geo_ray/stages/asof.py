@@ -185,7 +185,9 @@ def asof_join(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    both = lt.union(rt)
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
+    both = coalesce_for_shuffle(lt.union(rt))
     return both.groupby("bucket").map_groups(
         lambda g: asof_bucket(g, left_carry, right_carry), batch_format="pandas"
     )

@@ -351,7 +351,9 @@ def cluster_copartition(points_ds, max_dist: float = 500.0, zoom: int | None = N
     halo = points_ds.map_batches(
         explode_halo, fn_kwargs={"zoom": zoom}, batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = halo.groupby("bucket").map_groups(
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
+    pairs = coalesce_for_shuffle(halo).groupby("bucket").map_groups(
         lambda g: sl_pairs_bucket(g, max_dist), batch_format="pandas"
     )
 
@@ -394,6 +396,6 @@ def cluster_copartition(points_ds, max_dist: float = 500.0, zoom: int | None = N
         return t.append_column("cbucket", pa.array((comp % N_BUCKETS).astype(np.int64)))
 
     with_comp = points_ds.map_batches(attach_comp, batch_format="pyarrow", zero_copy_batch=True)
-    return with_comp.groupby("cbucket").map_groups(
+    return coalesce_for_shuffle(with_comp).groupby("cbucket").map_groups(
         lambda g: cl_refine_bucket(g, max_dist), batch_format="pandas"
     )

@@ -227,7 +227,11 @@ def pip_join_copartition(points_ds, polygons=None, zoom: int = 8, salt_threshold
     both = tagged.union(build).map_batches(
         add_bucket, fn_kwargs={"hot_cells": hot_cells}, batch_format="pyarrow"
     )
-    return both.groupby("bucket").map_groups(pip_refine_bucket, batch_format="pandas")
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
+    return coalesce_for_shuffle(both).groupby("bucket").map_groups(
+        pip_refine_bucket, batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -320,7 +324,9 @@ def knn_copartition(points_ds, query_ids, qlat, qlng, k: int = 5, radius_m: floa
     both = tagged.union(probes).map_batches(
         add_bucket, fn_kwargs={"hot_cells": hot_cells}, batch_format="pyarrow"
     )
-    partial = both.groupby("bucket").map_groups(
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
+    partial = coalesce_for_shuffle(both).groupby("bucket").map_groups(
         lambda g: knn_refine_bucket(g, k), batch_format="pandas"
     )
     from geo_ray.stages import knn as knn_st

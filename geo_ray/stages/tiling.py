@@ -184,7 +184,11 @@ def tile_pipeline(sf_dir: str, zoom: int = 10, salt_threshold: int | None = None
     rows = rows.map_batches(
         add_assembly_bucket, fn_kwargs={"hot_keys": hot_keys}, batch_format="pyarrow"
     )
-    tiles = rows.groupby("bucket").map_groups(assemble_bucket, batch_format="pandas")
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
+    tiles = coalesce_for_shuffle(rows).groupby("bucket").map_groups(
+        assemble_bucket, batch_format="pandas"
+    )
     if salt_threshold is not None:
         # merge per-salt partials: group by tile_key % 64 again (few rows now)
         def rebucket(b: pa.Table) -> pa.Table:
