@@ -708,7 +708,11 @@ def q_cluster_city(sf_dir: str):
         )
 
     ds = points_ds(sf_dir).map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
-    return ds.groupby("city").map_groups(cluster_group, batch_format="pandas")
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
+    return coalesce_for_shuffle(ds).groupby("city").map_groups(
+        cluster_group, batch_format="pandas"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2245,8 +2249,10 @@ def q_ivf_dup_pairs(sf_dir: str):
     from geo_ray.stages import ann as ann_st
 
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
     ds = ds.map_batches(ann_st.ivf_assign, batch_format="pyarrow")
-    return ds.groupby("centroid_id").map_groups(
+    return coalesce_for_shuffle(ds).groupby("centroid_id").map_groups(
         lambda g: ann_st.neardup_bucket(g, 0.4), batch_format="pandas"
     )
 
