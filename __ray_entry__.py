@@ -144,6 +144,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": Q.SQL_EXACT_DEDUP,
         "ann_topk": Q.SQL_ANN_TOPK,
         "ivf_topk": Q.SQL_IVF_TOPK,
+        "ivf_counts": Q.SQL_IVF_COUNTS,
         "ivf_dup_pairs": Q.SQL_IVF_DUP_PAIRS,
         "ivf_centroid_means": Q.SQL_IVF_CENTROID_MEANS,
         "event_hourly": Q.SQL_EVENT_HOURLY,

@@ -2228,6 +2228,9 @@ def _sql_ivf_topk() -> str:
 
 SQL_IVF_TOPK = _sql_ivf_topk()
 
+SQL_IVF_COUNTS = f"""WITH {_sql_ivf_assigned()}
+SELECT centroid_id, COUNT(*) AS n_vectors FROM assigned GROUP BY centroid_id"""
+
 SQL_IVF_CENTROID_MEANS = f"""WITH {_sql_ivf_assigned()},
 e AS (
   SELECT centroid_id,
