@@ -845,10 +845,10 @@ def q_minhash_pairs(sf_dir: str):
     ds = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
     # Coalesce the many small band blocks before the sort shuffle: the
     # groupby's map/reduce interaction count is quadratic in block count, and
-    # at sf scale dominates the signing compute (measured 5.3s -> 2.9s warm).
-    # At corpus scale the band stage emits large blocks and this is a no-op
-    # cost-wise (it is a split/merge coalesce, not an all-to-all).
-    pairs = ds.repartition(8).groupby("bucket").map_groups(
+    # at sf scale dominates the signing compute (see agg.coalesce_for_shuffle).
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
+    pairs = coalesce_for_shuffle(ds).groupby("bucket").map_groups(
         dedup_st.coarse_bucket_pairs, batch_format="pandas"
     )
 
@@ -952,7 +952,9 @@ def q_simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
         )
 
     ds = _docs_ds(sf_dir).map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
-    pairs = ds.repartition(8).groupby("bucket").map_groups(verify, batch_format="pandas")
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
+    pairs = coalesce_for_shuffle(ds).groupby("bucket").map_groups(verify, batch_format="pandas")
 
     # same pair found via several bands -> keep one (tree max over pair key)
     def pack(b: pa.Table) -> pa.Table:

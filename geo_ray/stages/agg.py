@@ -19,7 +19,7 @@ import numpy as np
 import pyarrow as pa
 
 
-def coalesce_for_shuffle(ds, num_blocks: int = 8):
+def coalesce_for_shuffle(ds, num_blocks: int = 32):
     """Split/merge-coalesce a Dataset before a sort-based groupby.
 
     Ray Data's shuffle cost has a fixed per-block component on both the map
@@ -28,9 +28,12 @@ def coalesce_for_shuffle(ds, num_blocks: int = 8):
     blocks costs more than the per-row work (measured: minhash band shuffle
     5.3s -> 2.9s warm at sf0.1 with an 8-block coalesce). This is a plain
     repartition (split/merge), NOT an all-to-all. At corpus scale map stages
-    emit large blocks and the coalesce is a cheap no-op; callers that know
-    their block sizes can pass a larger ``num_blocks`` (rule of thumb:
-    cluster core count)."""
+    emit large blocks and the coalesce is a cheap no-op. The default matches
+    the node core count — it also CAPS the reduce/map_groups parallelism, so
+    too few blocks starves big inputs (measured: 8 vs 32 blocks on a
+    15M-point cell-shuffle join = 32.8s vs 17.2s at 32 CPUs, while bench-sf
+    inputs are within noise of each other); set ``num_blocks`` ~ total
+    cluster cores on a real cluster."""
     return ds.repartition(num_blocks)
 
 
