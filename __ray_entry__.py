@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": Q.q_pricing_summary,
         "customers_without_orders": Q.q_customers_without_orders,
         "doc_len_quantiles": Q.q_doc_len_quantiles,
+        "price_quantile_sketch": Q.q_price_quantile_sketch,
         "revenue_by_nation": Q.q_revenue_by_nation,
         "doc_sample": Q.q_doc_sample,
         "parts_by_brand": Q.q_parts_by_brand,
@@ -159,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": Q.SQL_PRICING_SUMMARY,
         "customers_without_orders": Q.SQL_CUSTOMERS_WITHOUT_ORDERS,
         "doc_len_quantiles": Q.SQL_DOC_LEN_QUANTILES,
+        "price_quantile_sketch": Q.SQL_PRICE_QUANTILE_SKETCH,
         "revenue_by_nation": Q.SQL_REVENUE_BY_NATION,
         "doc_sample": Q.SQL_DOC_SAMPLE,
         "parts_by_brand": Q.SQL_PARTS_BY_BRAND,

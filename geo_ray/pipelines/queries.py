@@ -1602,6 +1602,80 @@ def q_ivf_centroid_means(sf_dir: str):
 # (it needs _sql_ivf_assigned, which is defined later in the module).
 
 
+_DD_GAMMA = 1.02
+
+
+def q_price_quantile_sketch(sf_dir: str):
+    """Mergeable log-bucket quantile SKETCH (DDSketch-style, gamma=1.02 ->
+    ~1% relative error): each batch collapses to bucket counts
+    (k = ceil(round(ln(x)/ln(gamma), 9))), partial histograms merge by SUM —
+    fully order-independent, so the distributed result is deterministic and
+    exactly SQL-reproducible (unlike a streamed exact quantile of floats).
+    Finish reads p50/p95/p99 off the cumulative histogram and reports each
+    bucket's representative value 2*gamma^k/(gamma+1), rounded to cents.
+    The round(..., 9) before ceil pins the one boundary case where DuckDB's
+    and NumPy's ln could disagree in the last ulp."""
+    from ray.data.aggregate import Sum
+
+    lg = np.log(_DD_GAMMA)
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b["o_totalprice"].to_numpy()
+        k = np.ceil(np.round(np.log(x) / lg, 9)).astype(np.int64)
+        u, cnt = np.unique(k, return_counts=True)
+        return pa.table({"k": pa.array(u), "n_partial": pa.array(cnt.astype(np.int64))})
+
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
+    ds = _rd().read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    hist = coalesce_for_shuffle(parts).groupby("k").aggregate(
+        Sum("n_partial", alias_name="n")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy()
+        n = b["n"].to_numpy()
+        order = np.argsort(k, kind="mergesort")
+        k, n = k[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        qs = [0.5, 0.95, 0.99]
+        out_q, out_v = [], []
+        for q in qs:
+            rank = int(np.ceil(q * total))
+            i = int(np.searchsorted(cum, rank))
+            rep = 2.0 * _DD_GAMMA ** int(k[i]) / (_DD_GAMMA + 1.0)
+            out_q.append(q)
+            out_v.append(round(rep, 2))
+        return pa.table(
+            {
+                "q": pa.array(out_q),
+                "price_est": pa.array(out_v),
+                "n_rows": pa.array([total] * len(qs), pa.int64()),
+            }
+        )
+
+    # the histogram is tiny (one row per log bucket) — fold to one block so
+    # the cumulative read-off sees the whole domain
+    return hist.repartition(1).map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_PRICE_QUANTILE_SKETCH = f"""WITH buckets AS (
+  SELECT CAST(CEIL(ROUND(LN(o_totalprice) / LN({_DD_GAMMA!r}), 9)) AS BIGINT) AS k,
+         COUNT(*) AS n
+  FROM orders GROUP BY 1
+), c AS (
+  SELECT k, n, SUM(n) OVER (ORDER BY k) AS cum, SUM(n) OVER () AS total FROM buckets
+)
+SELECT q, ROUND(2.0 * POWER({_DD_GAMMA!r}, k) / ({_DD_GAMMA!r} + 1.0), 2) AS price_est,
+       CAST(total AS BIGINT) AS n_rows
+FROM (VALUES (0.5), (0.95), (0.99)) t(q)
+JOIN LATERAL (
+  SELECT k, total FROM c WHERE cum >= CEIL(q * total) ORDER BY k LIMIT 1
+) ON TRUE"""
+
+
 def q_event_asof_orders(sf_dir: str):
     """As-of join (an operator Ray Data lacks natively): each event matched
     to its user's most recent order at or before the event time, ties broken
