@@ -21,3 +21,16 @@ def double_to_fix(c) -> np.ndarray:
 
 def fix_to_double(c) -> np.ndarray:
     return np.asarray(c, dtype=np.float64) / COORDINATE_PRECISION
+
+
+def round_half_away(x, decimals: int = 0):
+    """Decimal rounding with ties AWAY from zero — the DuckDB / C++
+    ``ROUND(double)`` rule. ``np.round`` ties to even, and the engine's
+    derived grid coordinates land on exact decimal halves often enough that
+    the two rules disagree on real rows (first seen on merc_x at sf0.1);
+    every oracle-facing rounded output goes through this instead."""
+    import numpy as np
+
+    x = np.asarray(x, dtype=np.float64)
+    s = 10.0 ** decimals
+    return np.copysign(np.floor(np.abs(x) * s + 0.5), x) / s

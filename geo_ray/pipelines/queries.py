@@ -22,6 +22,7 @@ from geo_ray.kernels import bearing as bearing_k
 from geo_ray.kernels import cell as cell_k
 from geo_ray.kernels import distance as dist_k
 from geo_ray.kernels import mercator as merc_k
+from geo_ray.kernels import fixed as fixed_k
 from geo_ray.kernels import polyline as poly_k
 from geo_ray.kernels import segment as seg_k
 from geo_ray.sources import derive
@@ -105,7 +106,7 @@ def points_ds(sf_dir: str):
 def _round_cols(batch: pa.Table, spec: dict) -> pa.Table:
     for col, nd in spec.items():
         i = batch.schema.get_field_index(col)
-        batch = batch.set_column(i, col, pa.array(np.round(batch[col].to_numpy(), nd)))
+        batch = batch.set_column(i, col, pa.array(fixed_k.round_half_away(batch[col].to_numpy(), nd)))
     return batch
 
 
@@ -133,7 +134,7 @@ def q_point_distance(sf_dir: str):
         lng = b["lng"].to_numpy()
         d = dist_k.haversine(lat, lng, FRANKFURT[0], FRANKFURT[1])
         return pa.table(
-            {"doc_id": b["doc_id"], "pt_idx": b["pt_idx"], "dist_m": pa.array(np.round(d, 3))}
+            {"doc_id": b["doc_id"], "pt_idx": b["pt_idx"], "dist_m": pa.array(fixed_k.round_half_away(d, 3))}
         )
 
     return points_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
@@ -149,7 +150,7 @@ def q_point_bearing(sf_dir: str):
     def stage(b: pa.Table) -> pa.Table:
         brg = bearing_k.bearing(b["lat"].to_numpy(), b["lng"].to_numpy(), *FRANKFURT)
         return pa.table(
-            {"doc_id": b["doc_id"], "pt_idx": b["pt_idx"], "bearing_deg": pa.array(np.round(brg, 6))}
+            {"doc_id": b["doc_id"], "pt_idx": b["pt_idx"], "bearing_deg": pa.array(fixed_k.round_half_away(brg, 6))}
         )
 
     return points_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
@@ -178,8 +179,8 @@ def q_destination_points(sf_dir: str):
             {
                 "doc_id": b["doc_id"],
                 "pt_idx": b["pt_idx"],
-                "dest_lat": pa.array(np.round(dlat, 6)),
-                "dest_lng": pa.array(np.round(dlng, 6)),
+                "dest_lat": pa.array(fixed_k.round_half_away(dlat, 6)),
+                "dest_lng": pa.array(fixed_k.round_half_away(dlng, 6)),
             }
         )
 
@@ -278,8 +279,8 @@ def q_merc_points(sf_dir: str):
             {
                 "doc_id": b["doc_id"],
                 "pt_idx": b["pt_idx"],
-                "merc_x": pa.array(np.round(mx, 6)),
-                "merc_y": pa.array(np.round(my, 6)),
+                "merc_x": pa.array(fixed_k.round_half_away(mx, 6)),
+                "merc_y": pa.array(fixed_k.round_half_away(my, 6)),
             }
         )
 
@@ -427,7 +428,7 @@ def q_polyline_lengths(sf_dir: str):
         d_rep, pt_idx, lat, lng = derive.derive_points(docs)
         offsets = np.concatenate([[0], np.cumsum(counts)])
         lengths = poly_k.lengths_of_lists(lat, lng, offsets)
-        return pa.table({"doc_id": pa.array(docs), "length_m": pa.array(np.round(lengths, 3))})
+        return pa.table({"doc_id": pa.array(docs), "length_m": pa.array(fixed_k.round_half_away(lengths, 3))})
 
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
@@ -456,8 +457,8 @@ def q_midpoints(sf_dir: str):
             {
                 "doc_id": b["doc_id"],
                 "pt_idx": b["pt_idx"],
-                "mid_lat": pa.array(np.round(mlat, 6)),
-                "mid_lng": pa.array(np.round(mlng, 6)),
+                "mid_lat": pa.array(fixed_k.round_half_away(mlat, 6)),
+                "mid_lng": pa.array(fixed_k.round_half_away(mlng, 6)),
             }
         )
 
@@ -491,7 +492,7 @@ def q_xyz_chord(sf_dir: str):
             np.sqrt((x - fx) ** 2 + (y - fy) ** 2 + (z - fz) ** 2)
         )
         return pa.table(
-            {"doc_id": b["doc_id"], "pt_idx": b["pt_idx"], "chord_m": pa.array(np.round(d, 3))}
+            {"doc_id": b["doc_id"], "pt_idx": b["pt_idx"], "chord_m": pa.array(fixed_k.round_half_away(d, 3))}
         )
 
     return points_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
@@ -1395,10 +1396,10 @@ def q_pricing_summary(sf_dir: str):
                 "l_linestatus": pa.array([s.split("|")[1] for s in k]),
                 "sum_qty": b["sum_qty"],
                 "sum_base_price": pa.array(
-                    np.round(b["base_cents"].to_numpy() / 100.0, 2)
+                    fixed_k.round_half_away(b["base_cents"].to_numpy() / 100.0, 2)
                 ),
-                "sum_disc_price": pa.array(np.round(b["disc_e4"].to_numpy() / 1e4, 2)),
-                "sum_charge": pa.array(np.round(b["charge_e6"].to_numpy() / 1e6, 2)),
+                "sum_disc_price": pa.array(fixed_k.round_half_away(b["disc_e4"].to_numpy() / 1e4, 2)),
+                "sum_charge": pa.array(fixed_k.round_half_away(b["charge_e6"].to_numpy() / 1e6, 2)),
                 "n_rows": b["n_rows"],
             }
         )
@@ -1591,7 +1592,7 @@ def q_ivf_centroid_means(sf_dir: str):
             {
                 "centroid_id": pa.array(k // 64),
                 "dim": pa.array(k % 64),
-                "mean_v": pa.array(np.round(s / n, 6)),
+                "mean_v": pa.array(fixed_k.round_half_away(s / n, 6)),
             }
         )
 
@@ -1621,7 +1622,7 @@ def q_price_quantile_sketch(sf_dir: str):
 
     def partial(b: pa.Table) -> pa.Table:
         x = b["o_totalprice"].to_numpy()
-        k = np.ceil(np.round(np.log(x) / lg, 9)).astype(np.int64)
+        k = np.ceil(fixed_k.round_half_away(np.log(x) / lg, 9)).astype(np.int64)
         u, cnt = np.unique(k, return_counts=True)
         return pa.table({"k": pa.array(u), "n_partial": pa.array(cnt.astype(np.int64))})
 
@@ -1907,7 +1908,7 @@ def q_user_top_events(sf_dir: str):
             {
                 "user_id": user[keep],
                 "event_id": eid[keep],
-                "value": np.round(val[keep], 6),
+                "value": fixed_k.round_half_away(val[keep], 6),
                 "rnk": rank[keep] + 1,
             }
         )
@@ -2163,7 +2164,7 @@ def q_dist_to_polyline(sf_dir: str):
         return pa.table(
             {
                 "doc_id": pa.array(sd[starts]),
-                "dist_m": pa.array(np.round(np.minimum.reduceat(dd, starts), 3)),
+                "dist_m": pa.array(fixed_k.round_half_away(np.minimum.reduceat(dd, starts), 3)),
             }
         )
 
@@ -2459,7 +2460,7 @@ def q_revenue_by_nation(sf_dir: str):
         return pa.table(
             {
                 "n_name": pa.array([lut[int(k)] for k in keys]),
-                "revenue": pa.array(np.round(rev, 2)),
+                "revenue": pa.array(fixed_k.round_half_away(rev, 2)),
             }
         )
 

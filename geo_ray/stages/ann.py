@@ -14,6 +14,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from geo_ray.kernels import fixed as fixed_k
+
 EMBED_DIM = 64
 
 
@@ -58,7 +60,7 @@ class CosineTopK:
 def finish_ann_topk(group, k: int = 10):
     g = group.sort_values(["cos_sim", "vec_id"], ascending=[False, True], kind="mergesort")
     g = g.head(k).copy()
-    g["cos_sim"] = np.round(g["cos_sim"].to_numpy(), 6)
+    g["cos_sim"] = fixed_k.round_half_away(g["cos_sim"].to_numpy(), 6)
     return g
 
 
@@ -106,7 +108,7 @@ class CosineNearDup:
         norms[norms == 0] = 1.0
         cos = (v / norms[:, None]) @ self.mat.T  # (batch, all)
         bid = batch["vec_id"].to_numpy().astype(np.int64)
-        keep = np.round(cos, 6) >= self.tau
+        keep = fixed_k.round_half_away(cos, 6) >= self.tau
         # emit only (a < b) so each pair appears exactly once globally
         keep &= bid[:, None] < self.ids[None, :]
         r, c = np.nonzero(keep)
@@ -114,7 +116,7 @@ class CosineNearDup:
             {
                 "vec_a": pa.array(bid[r]),
                 "vec_b": pa.array(self.ids[c]),
-                "cos_sim": pa.array(np.round(cos[r, c], 6)),
+                "cos_sim": pa.array(fixed_k.round_half_away(cos[r, c], 6)),
             }
         )
 
@@ -141,7 +143,7 @@ def neardup_bucket(group, tau: float = 0.4):
     vn = emb / norms[:, None]
     cos = vn @ vn.T
     iu, ju = np.triu_indices(ids.size, 1)
-    sim = np.round(cos[iu, ju], 6)
+    sim = fixed_k.round_half_away(cos[iu, ju], 6)
     keep = sim >= tau
     return pd.DataFrame(
         {"vec_a": ids[iu[keep]], "vec_b": ids[ju[keep]], "cos_sim": sim[keep]}

@@ -10,6 +10,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from geo_ray.kernels import fixed as fixed_k
+
 N_HASH = 64
 N_BANDS = 16  # 4 rows per band
 _ROWS = N_HASH // N_BANDS
@@ -177,7 +179,7 @@ def coarse_bucket_pairs(group, threshold: float = 0.6):
         m = est >= threshold
         out_a.append(g_ids[iu[m]])
         out_b.append(g_ids[ju[m]])
-        out_j.append(np.round(est[m], 3))
+        out_j.append(fixed_k.round_half_away(est[m], 3))
     a = np.concatenate(out_a)
     if a.size == 0:
         return empty
@@ -211,7 +213,7 @@ def bucket_pairs(group, threshold: float = 0.6):
         {
             "doc_a": ids[iu[keep]],
             "doc_b": ids[ju[keep]],
-            "est_jaccard": np.round(est[keep], 3),
+            "est_jaccard": fixed_k.round_half_away(est[keep], 3),
         }
     )
 

@@ -7,6 +7,8 @@ DuckDB oracle (also RE2 via ``regexp_extract_all``) counts identically.
 from __future__ import annotations
 
 import numpy as np
+
+from geo_ray.kernels import fixed as fixed_k
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -36,7 +38,7 @@ def quality_score(batch: pa.Table) -> pa.Table:
     n_punct = pc.cast(pc.count_substring_regex(text, r"[.!?,;:]"), pa.int64())
     nc = n_chars.to_numpy()
     nt = np.maximum(n_tokens.to_numpy(), 1)
-    mean_tok = np.round((nc - (nt - 1)) / nt, 6)  # chars minus single spaces
+    mean_tok = fixed_k.round_half_away((nc - (nt - 1)) / nt, 6)  # chars minus single spaces
     return pa.table(
         {
             "doc_id": batch["doc_id"],
