@@ -1603,6 +1603,93 @@ def q_ivf_centroid_means(sf_dir: str):
 # (it needs _sql_ivf_assigned, which is defined later in the module).
 
 
+_HLL_M = 64  # registers (b = 6)
+
+
+def q_user_distinct_hll(sf_dir: str):
+    """HyperLogLog register state for distinct-users-per-event-type: hash
+    each user (Knuth multiplicative, 32-bit), split into (register, rank of
+    leftmost 1-bit of the remaining 26 bits), keep the MAX rank per
+    (event_type, register). The sketch state is merge-by-max — fully
+    order-independent, so the distributed registers are deterministic and
+    exactly SQL-reproducible (register-level oracle; the cardinality
+    ESTIMATE derived from them is validated against exact counts by
+    pytest). Bit-length is computed by integer comparisons against powers of
+    two — no float log anywhere."""
+    from ray.data.aggregate import Max
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        uid = b["user_id"].to_numpy().astype(np.int64)
+        # 32-bit multiply-xorshift mixer (two rounds) — a bare multiplicative
+        # hash leaves sequential ids structured in the low bits and wrecks
+        # the leading-zero statistics; every op stays < 2^63 so the SQL twin
+        # computes the identical BIGINT values
+        h = uid % 4294967296
+        h = ((h ^ (h >> 16)) * 0x45D9F3B) % 4294967296
+        h = ((h ^ (h >> 16)) * 0x45D9F3B) % 4294967296
+        h32 = h ^ (h >> 16)
+        reg = h32 >> 26  # top 6 bits
+        w = h32 & ((1 << 26) - 1)
+        bl = (w[:, None] >= (np.int64(1) << np.arange(26, dtype=np.int64))[None, :]).sum(
+            axis=1, dtype=np.int64
+        )
+        rank = np.where(w == 0, 27, 27 - bl)
+        key = np.char.add(np.char.add(et.astype("U16"), "|"), reg.astype("U3"))
+        # per-batch max per key
+        u, inv = np.unique(key, return_inverse=True)
+        mx = np.zeros(u.size, dtype=np.int64)
+        np.maximum.at(mx, inv, rank)
+        return pa.table({"er": pa.array(u.tolist()), "rank_partial": pa.array(mx)})
+
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    regs = coalesce_for_shuffle(parts).groupby("er").aggregate(
+        Max("rank_partial", alias_name="max_rank")
+    )
+
+    def split(b: pa.Table) -> pa.Table:
+        er = b["er"].to_numpy(zero_copy_only=False).astype("U24")
+        parts_ = np.char.partition(er, "|")
+        return pa.table(
+            {
+                "event_type": pa.array(parts_[:, 0].tolist()),
+                "register": pa.array(parts_[:, 2].astype(np.int64)),
+                "max_rank": b["max_rank"],
+            }
+        )
+
+    return regs.map_batches(split, batch_format="pyarrow")
+
+
+SQL_USER_DISTINCT_HLL = f"""WITH h1 AS (
+  SELECT event_type, (xor(user_id % 4294967296, (user_id % 4294967296) >> 16) * {0x45D9F3B}) % 4294967296 AS h FROM events
+), h2 AS (
+  SELECT event_type, (xor(h, h >> 16) * {0x45D9F3B}) % 4294967296 AS h FROM h1
+), h3 AS (
+  SELECT event_type, xor(h, h >> 16) AS h32 FROM h2
+), r AS (
+  SELECT event_type, h32 >> 26 AS register, h32 & {(1 << 26) - 1} AS w FROM h3
+)
+SELECT event_type, register,
+  MAX(CASE WHEN w = 0 THEN 27 ELSE 27 - LENGTH(bin(CAST(w AS BIGINT))) END) AS max_rank
+FROM r GROUP BY event_type, register"""
+
+
+def hll_estimate(max_ranks: np.ndarray, m: int = _HLL_M) -> float:
+    """Standard HLL estimator with small-range (linear counting) correction,
+    for a full register vector (absent registers = rank 0)."""
+    alpha = 0.709  # alpha_64
+    z = np.sum(2.0 ** -max_ranks.astype(np.float64))
+    est = alpha * m * m / z
+    zeros = int((max_ranks == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
 _DD_GAMMA = 1.02
 
 

@@ -141,3 +141,23 @@ def test_simhash_dup_pairs_equals_allpairs(ray_session):
         lo, hi = sorted((int(a), int(b)))
         want.add((lo, hi, int(d)))
     assert got_set == want
+
+
+def test_hll_estimate_accuracy(ray_session):
+    """The HLL registers produce estimates within the sketch's error bounds
+    of the exact distinct counts (64 registers -> ~13% standard error)."""
+    import duckdb
+
+    from geo_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    regs = Q.q_user_distinct_hll(sf).to_pandas()
+    exact = duckdb.sql(
+        f"SELECT event_type, COUNT(DISTINCT user_id) AS n FROM '{sf}/events.parquet' GROUP BY 1"
+    ).df()
+    for r in exact.itertuples():
+        sub = regs[regs.event_type == r.event_type]
+        full = np.zeros(64, dtype=np.int64)
+        full[sub.register.to_numpy(int)] = sub.max_rank.to_numpy(int)
+        est = Q.hll_estimate(full)
+        assert abs(est - r.n) / r.n < 0.35, (r.event_type, est, r.n)
