@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_quantiles": Q.q_doc_len_quantiles,
         "price_quantile_sketch": Q.q_price_quantile_sketch,
         "user_distinct_hll": Q.q_user_distinct_hll,
+        "customers_bloom_prefilter": Q.q_customers_bloom_prefilter,
         "revenue_by_nation": Q.q_revenue_by_nation,
         "doc_sample": Q.q_doc_sample,
         "parts_by_brand": Q.q_parts_by_brand,
@@ -163,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_len_quantiles": Q.SQL_DOC_LEN_QUANTILES,
         "price_quantile_sketch": Q.SQL_PRICE_QUANTILE_SKETCH,
         "user_distinct_hll": Q.SQL_USER_DISTINCT_HLL,
+        "customers_bloom_prefilter": Q.SQL_CUSTOMERS_BLOOM_PREFILTER,
         "revenue_by_nation": Q.SQL_REVENUE_BY_NATION,
         "doc_sample": Q.SQL_DOC_SAMPLE,
         "parts_by_brand": Q.SQL_PARTS_BY_BRAND,

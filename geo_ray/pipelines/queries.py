@@ -1603,6 +1603,88 @@ def q_ivf_centroid_means(sf_dir: str):
 # (it needs _sql_ivf_assigned, which is defined later in the module).
 
 
+_BLOOM_M = 4096  # bits
+_BLOOM_SEEDS = (1, 2, 3)
+
+
+def _bloom_bits_np(x: np.ndarray, seed: int) -> np.ndarray:
+    """Bit index of value x under hash ``seed`` — the same lowbias32 mixer as
+    the HLL sketch, seed folded in additively (all products < 2^59)."""
+    h = (x.astype(np.int64) + seed * 40503) % 4294967296
+    h = ((h ^ (h >> 16)) * 0x45D9F3B) % 4294967296
+    h = ((h ^ (h >> 16)) * 0x45D9F3B) % 4294967296
+    return (h ^ (h >> 16)) % _BLOOM_M
+
+
+def _bloom_bit_sql(col: str, seed: int) -> str:
+    a = f"(({col} + {seed * 40503}) % 4294967296)"
+    b = f"((xor({a}, {a} >> 16) * {0x45D9F3B}) % 4294967296)"
+    c = f"((xor({b}, {b} >> 16) * {0x45D9F3B}) % 4294967296)"
+    return f"(xor({c}, {c} >> 16) % {_BLOOM_M})"
+
+
+def q_customers_bloom_prefilter(sf_dir: str):
+    """BLOOM-FILTER join prefilter: build a 4096-bit / 3-hash Bloom filter
+    over the urgent-order custkeys (per-batch set-bit partials merge by OR —
+    order-independent, so the filter and its false positives are fully
+    deterministic and SQL-reproducible), broadcast the bit set once, and
+    emit the customers that PASS. This is the classic shuffle-avoidance
+    prefilter for a selective join: passers are a slight superset of true
+    matches (deterministic false-positive rate m=4096/k=3), to be refined by
+    the real join."""
+    import ray
+
+    from geo_ray.stages import agg as agg_st
+
+    rd = _rd()
+    ok = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"])
+
+    def bit_partial(b: pa.Table) -> pa.Table:
+        keep = np.asarray(pc.equal(b["o_orderpriority"].combine_chunks(), "1-URGENT"))
+        ck = b["o_custkey"].to_numpy().astype(np.int64)[keep]
+        bits = np.unique(
+            np.concatenate([_bloom_bits_np(ck, s) for s in _BLOOM_SEEDS])
+            if ck.size
+            else np.zeros(0, dtype=np.int64)
+        )
+        return pa.table(
+            {"bit": pa.array(bits), "one": pa.array(np.ones(bits.size, dtype=np.int64))}
+        )
+
+    bits_ds = agg_st.tree_max(ok.map_batches(bit_partial, batch_format="pyarrow"), "bit", "one")
+    bp = bits_ds.to_pandas()
+    bitset = np.zeros(_BLOOM_M, dtype=bool)
+    if "bit" in bp.columns and len(bp):
+        bitset[bp["bit"].to_numpy(np.int64)] = True
+    bits_ref = ray.put(bitset)
+
+    def passes(b: pa.Table) -> pa.Table:
+        bs = ray.get(bits_ref)
+        ck = b["c_custkey"].to_numpy().astype(np.int64)
+        keep = np.ones(ck.size, dtype=bool)
+        for s in _BLOOM_SEEDS:
+            keep &= bs[_bloom_bits_np(ck, s)]
+        return b.filter(pa.array(keep)).select(["c_custkey"])
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    return cust.map_batches(passes, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_bloom() -> str:
+    bit_union = " UNION ".join(
+        f"SELECT {_bloom_bit_sql('o_custkey', s)} AS bit FROM orders WHERE o_orderpriority = '1-URGENT'"
+        for s in _BLOOM_SEEDS
+    )
+    checks = " AND ".join(
+        f"EXISTS (SELECT 1 FROM bits WHERE bit = {_bloom_bit_sql('c.c_custkey', s)})"
+        for s in _BLOOM_SEEDS
+    )
+    return f"WITH bits AS ({bit_union})\nSELECT c_custkey FROM customer c WHERE {checks}"
+
+
+SQL_CUSTOMERS_BLOOM_PREFILTER = _sql_bloom()
+
+
 _HLL_M = 64  # registers (b = 6)
 
 
