@@ -1428,12 +1428,18 @@ def q_customers_without_orders(sf_dir: str):
 
     from geo_ray.stages import agg as agg_st
 
+    import pyarrow.dataset as pads
+
     rd = _rd()
-    ok = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"])
+    # predicate pushdown: only urgent-order row groups/rows leave the scan
+    ok = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    )
 
     def uniq(b: pa.Table) -> pa.Table:
-        keep = np.asarray(pc.equal(b["o_orderpriority"].combine_chunks(), "1-URGENT"))
-        u = np.unique(b["o_custkey"].to_numpy().astype(np.int64)[keep])
+        u = np.unique(b["o_custkey"].to_numpy().astype(np.int64))
         return pa.table({"k": pa.array(u), "one": pa.array(np.ones(u.size, dtype=np.int64))})
 
     distinct = agg_st.tree_max(ok.map_batches(uniq, batch_format="pyarrow"), "k", "one")
@@ -1636,12 +1642,17 @@ def q_customers_bloom_prefilter(sf_dir: str):
 
     from geo_ray.stages import agg as agg_st
 
+    import pyarrow.dataset as pads
+
     rd = _rd()
-    ok = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"])
+    ok = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    )
 
     def bit_partial(b: pa.Table) -> pa.Table:
-        keep = np.asarray(pc.equal(b["o_orderpriority"].combine_chunks(), "1-URGENT"))
-        ck = b["o_custkey"].to_numpy().astype(np.int64)[keep]
+        ck = b["o_custkey"].to_numpy().astype(np.int64)
         bits = np.unique(
             np.concatenate([_bloom_bits_np(ck, s) for s in _BLOOM_SEEDS])
             if ck.size
