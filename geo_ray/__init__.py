@@ -39,3 +39,32 @@ def _tune_allocator() -> None:
 
 
 _tune_allocator()
+
+
+def _tune_data_context() -> None:
+    """Opt-in hash-shuffle strategy (``GEO_RAY_HASH_SHUFFLE=1``).
+
+    The engine's wide steps are KEY CO-LOCATION problems (bucketed joins,
+    band dedup, per-key scans) — ``ShuffleStrategy.HASH_SHUFFLE`` enables
+    key-based ``repartition(keys=...)`` (a pure hash exchange, no sort) and
+    ``stages.agg.hash_bucket_apply`` uses it automatically when active:
+    measured 57s -> 23.5s on a 10M-event as-of join at 32 CPUs. It is NOT
+    the default because Ray's hash-shuffle aggregator actors are re-created
+    per dataset execution — ~5-15s per query in a 4-CPU session — which
+    swamps small-sf correctness runs and tests; flip it on for dedicated
+    large-volume sessions (cluster jobs, stress runs).
+    """
+    import os
+
+    if os.environ.get("GEO_RAY_HASH_SHUFFLE") != "1":
+        return
+    try:
+        from ray.data import DataContext
+        from ray.data.context import ShuffleStrategy
+
+        DataContext.get_current().shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    except Exception:  # pragma: no cover - older ray
+        pass
+
+
+_tune_data_context()

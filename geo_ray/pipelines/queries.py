@@ -847,11 +847,9 @@ def q_minhash_pairs(sf_dir: str):
     # Coalesce the many small band blocks before the sort shuffle: the
     # groupby's map/reduce interaction count is quadratic in block count, and
     # at sf scale dominates the signing compute (see agg.coalesce_for_shuffle).
-    from geo_ray.stages.agg import coalesce_for_shuffle
+    from geo_ray.stages.agg import hash_bucket_apply
 
-    pairs = coalesce_for_shuffle(ds).groupby("bucket").map_groups(
-        dedup_st.coarse_bucket_pairs, batch_format="pandas"
-    )
+    pairs = hash_bucket_apply(ds, "bucket", dedup_st.coarse_bucket_pairs)
 
     def pack(b: pa.Table) -> pa.Table:
         # (a << 32) | b in uint64, viewed int64 for the tree combine — exact
@@ -953,9 +951,9 @@ def q_simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
         )
 
     ds = _docs_ds(sf_dir).map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
-    from geo_ray.stages.agg import coalesce_for_shuffle
+    from geo_ray.stages.agg import hash_bucket_apply
 
-    pairs = coalesce_for_shuffle(ds).groupby("bucket").map_groups(verify, batch_format="pandas")
+    pairs = hash_bucket_apply(ds, "bucket", verify)
 
     # same pair found via several bands -> keep one (tree max over pair key)
     def pack(b: pa.Table) -> pa.Table:
@@ -1126,11 +1124,9 @@ def q_event_sessions(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
     ds = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-    from geo_ray.stages.agg import coalesce_for_shuffle
+    from geo_ray.stages.agg import hash_bucket_apply
 
-    return coalesce_for_shuffle(ds).groupby("bucket").map_groups(
-        sess_bucket, batch_format="pandas"
-    )
+    return hash_bucket_apply(ds, "bucket", sess_bucket)
 
 
 SQL_EVENT_SESSIONS = """WITH d AS (
@@ -1208,11 +1204,9 @@ def q_dedup_filtered_docs(sf_dir: str):
         return pd.DataFrame({"doc_id": doc[~first]})
 
     ds = _docs_ds(sf_dir).map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
-    from geo_ray.stages.agg import coalesce_for_shuffle
+    from geo_ray.stages.agg import hash_bucket_apply
 
-    losers_ds = coalesce_for_shuffle(ds).groupby("bucket").map_groups(
-        losers_bucket, batch_format="pandas"
-    )
+    losers_ds = hash_bucket_apply(ds, "bucket", losers_bucket)
     lp = losers_ds.to_pandas()
     lose = (
         np.sort(lp["doc_id"].to_numpy(np.int64))
@@ -1323,10 +1317,9 @@ def q_order_price_bands(sf_dir: str):
     rd = _rd()
     pts = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
     pts = pts.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True)
-    from geo_ray.stages.agg import coalesce_for_shuffle
+    from geo_ray.stages.agg import hash_bucket_apply
 
-    both = coalesce_for_shuffle(pts.union(rd.from_arrow(band_rows())))
-    return both.groupby("bucket").map_groups(refine, batch_format="pandas")
+    return hash_bucket_apply(pts.union(rd.from_arrow(band_rows())), "bucket", refine)
 
 
 SQL_ORDER_PRICE_BANDS = (
@@ -2096,11 +2089,9 @@ def q_user_top_events(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"])
     ds = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-    from geo_ray.stages.agg import coalesce_for_shuffle
+    from geo_ray.stages.agg import hash_bucket_apply
 
-    return coalesce_for_shuffle(ds).groupby("bucket").map_groups(
-        topk_bucket, batch_format="pandas"
-    )
+    return hash_bucket_apply(ds, "bucket", topk_bucket)
 
 
 SQL_USER_TOP_EVENTS = """SELECT user_id, event_id, ROUND(value, 6) AS value,

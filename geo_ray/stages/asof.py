@@ -185,9 +185,8 @@ def asof_join(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    from geo_ray.stages.agg import coalesce_for_shuffle
+    from geo_ray.stages.agg import hash_bucket_apply
 
-    both = coalesce_for_shuffle(lt.union(rt))
-    return both.groupby("bucket").map_groups(
-        lambda g: asof_bucket(g, left_carry, right_carry), batch_format="pandas"
+    return hash_bucket_apply(
+        lt.union(rt), "bucket", lambda g: asof_bucket(g, left_carry, right_carry)
     )

@@ -140,6 +140,10 @@ def _star_bucket(df, mode: str):
 
     u = df["u"].to_numpy()
     v = df["v"].to_numpy()
+    if u.size == 0:
+        return pd.DataFrame(
+            {"u": np.array([], dtype=np.int64), "v": np.array([], dtype=np.int64)}
+        )
     order = np.lexsort((v, u))
     u, v = u[order], v[order]
     keep = np.ones(u.size, dtype=bool)
@@ -221,13 +225,11 @@ def cc_minlabel(pairs_ds, max_rounds: int = 32):
     prev = None
     for _ in range(max_rounds):
         ls_in = edges.map_batches(both_orient, batch_format="pyarrow", zero_copy_batch=True)
-        ls = ls_in.groupby("b").map_groups(
-            lambda g: _star_bucket(g, "large"), batch_format="pandas"
-        )
+        from geo_ray.stages.agg import hash_bucket_apply
+
+        ls = hash_bucket_apply(ls_in, "b", lambda g: _star_bucket(g, "large"))
         ss_in = ls.map_batches(hi_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        edges = ss_in.groupby("b").map_groups(
-            lambda g: _star_bucket(g, "small"), batch_format="pandas"
-        ).materialize()
+        edges = hash_bucket_apply(ss_in, "b", lambda g: _star_bucket(g, "small")).materialize()
         cur = _edge_checksum(edges)
         if cur == prev:
             return edges
@@ -268,10 +270,13 @@ def resolve_components(edges_ds):
         u, v = zip(*items)
         return pd.DataFrame({"u": np.array(u, dtype=np.int64), "v": np.array(v, dtype=np.int64)})
 
-    return (
-        edges_ds.map_batches(const_key, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("b")
-        .map_groups(uf_group, batch_format="pandas")
+    from geo_ray.stages.agg import hash_bucket_apply
+
+    return hash_bucket_apply(
+        edges_ds.map_batches(const_key, batch_format="pyarrow", zero_copy_batch=True),
+        "b",
+        uf_group,
+        num_blocks=1,
     )
 
 
@@ -351,11 +356,9 @@ def cluster_copartition(points_ds, max_dist: float = 500.0, zoom: int | None = N
     halo = points_ds.map_batches(
         explode_halo, fn_kwargs={"zoom": zoom}, batch_format="pyarrow", zero_copy_batch=True
     )
-    from geo_ray.stages.agg import coalesce_for_shuffle
+    from geo_ray.stages.agg import hash_bucket_apply
 
-    pairs = coalesce_for_shuffle(halo).groupby("bucket").map_groups(
-        lambda g: sl_pairs_bucket(g, max_dist), batch_format="pandas"
-    )
+    pairs = hash_bucket_apply(halo, "bucket", lambda g: sl_pairs_bucket(g, max_dist))
 
     def as_edges(b) -> pa.Table:
         if "rep" not in b.column_names:
@@ -396,6 +399,6 @@ def cluster_copartition(points_ds, max_dist: float = 500.0, zoom: int | None = N
         return t.append_column("cbucket", pa.array((comp % N_BUCKETS).astype(np.int64)))
 
     with_comp = points_ds.map_batches(attach_comp, batch_format="pyarrow", zero_copy_batch=True)
-    return coalesce_for_shuffle(with_comp).groupby("cbucket").map_groups(
-        lambda g: cl_refine_bucket(g, max_dist), batch_format="pandas"
+    return hash_bucket_apply(
+        with_comp, "cbucket", lambda g: cl_refine_bucket(g, max_dist)
     )

@@ -227,11 +227,9 @@ def pip_join_copartition(points_ds, polygons=None, zoom: int = 8, salt_threshold
     both = tagged.union(build).map_batches(
         add_bucket, fn_kwargs={"hot_cells": hot_cells}, batch_format="pyarrow"
     )
-    from geo_ray.stages.agg import coalesce_for_shuffle
+    from geo_ray.stages.agg import hash_bucket_apply
 
-    return coalesce_for_shuffle(both).groupby("bucket").map_groups(
-        pip_refine_bucket, batch_format="pandas"
-    )
+    return hash_bucket_apply(both, "bucket", pip_refine_bucket)
 
 
 # ---------------------------------------------------------------------------
@@ -324,11 +322,9 @@ def knn_copartition(points_ds, query_ids, qlat, qlng, k: int = 5, radius_m: floa
     both = tagged.union(probes).map_batches(
         add_bucket, fn_kwargs={"hot_cells": hot_cells}, batch_format="pyarrow"
     )
-    from geo_ray.stages.agg import coalesce_for_shuffle
+    from geo_ray.stages.agg import hash_bucket_apply
 
-    partial = coalesce_for_shuffle(both).groupby("bucket").map_groups(
-        lambda g: knn_refine_bucket(g, k), batch_format="pandas"
-    )
+    partial = hash_bucket_apply(both, "bucket", lambda g: knn_refine_bucket(g, k))
     from geo_ray.stages import knn as knn_st
 
     return partial.groupby("query_id").map_groups(

@@ -114,6 +114,10 @@ def assemble_bucket(group):
     import pandas as pd
 
     key = group["tile_key"].to_numpy()
+    if key.size == 0:
+        return pd.DataFrame(
+            {"tile_key": [], "tile_x": [], "tile_y": [], "n_lines": [], "payload": []}
+        )
     enc = group["enc"].to_numpy()
     order = np.lexsort((enc, key))  # deterministic per-tile line order,
     key = key[order]                # mergeable across salted partials
@@ -184,11 +188,9 @@ def tile_pipeline(sf_dir: str, zoom: int = 10, salt_threshold: int | None = None
     rows = rows.map_batches(
         add_assembly_bucket, fn_kwargs={"hot_keys": hot_keys}, batch_format="pyarrow"
     )
-    from geo_ray.stages.agg import coalesce_for_shuffle
+    from geo_ray.stages.agg import hash_bucket_apply
 
-    tiles = coalesce_for_shuffle(rows).groupby("bucket").map_groups(
-        assemble_bucket, batch_format="pandas"
-    )
+    tiles = hash_bucket_apply(rows, "bucket", assemble_bucket)
     if salt_threshold is not None:
         # merge per-salt partials: group by tile_key % 64 again (few rows now)
         def rebucket(b: pa.Table) -> pa.Table:
