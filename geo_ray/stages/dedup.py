@@ -188,36 +188,6 @@ def coarse_bucket_pairs(group, threshold: float = 0.6):
     )
 
 
-def bucket_pairs(group, threshold: float = 0.6):
-    """map_groups: emit verified candidate pairs from one LSH bucket.
-
-    Jaccard is estimated from the carried minhash signatures (the at-scale
-    verification path — texts never shuffle)."""
-    import pandas as pd
-
-    g = group.sort_values("doc_id")
-    ids = g["doc_id"].to_numpy()
-    if ids.size < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-    sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in g["sig"]])
-    # unique docs only (a doc can land in a bucket once per band)
-    _, first = np.unique(ids, return_index=True)
-    ids = ids[first]
-    sigs = sigs[first]
-    if ids.size < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-    iu, ju = np.triu_indices(ids.size, 1)
-    est = (sigs[iu] == sigs[ju]).mean(axis=1)
-    keep = est >= threshold
-    return pd.DataFrame(
-        {
-            "doc_a": ids[iu[keep]],
-            "doc_b": ids[ju[keep]],
-            "est_jaccard": fixed_k.round_half_away(est[keep], 3),
-        }
-    )
-
-
 def simhash64(batch: pa.Table) -> pa.Table:
     """64-bit SimHash over UNIQUE whitespace tokens (unweighted), vectorized:
     one token-hash pass for the batch, per-doc dedup via lexsort first-occurrence
