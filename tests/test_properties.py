@@ -114,3 +114,33 @@ def test_tile_iterator_decrement_inverts_increment(z, steps):
     for want in reversed(seen[:-1]):
         it.decrement()
         assert it.tile == want
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e8, max_value=1e8, allow_nan=False, width=64),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+def test_round_half_away_matches_duckdb(xs, nd):
+    import duckdb
+
+    from geo_ray.kernels.fixed import round_half_away
+
+    got = round_half_away(np.array(xs), nd)
+    vals = ", ".join(f"({x!r})" for x in xs)
+    want = duckdb.sql(
+        f"SELECT ROUND(CAST(v AS DOUBLE), {nd}) FROM (VALUES {vals}) t(v)"
+    ).fetchnumpy()
+    want = list(want.values())[0]
+    assert (got == want).all(), (xs, nd, got, want)
+
+
+def test_round_half_away_pinned_ties():
+    from geo_ray.kernels.fixed import round_half_away
+
+    assert round_half_away(np.array([2.5, 3.5, -2.5, 0.5]), 0).tolist() == [3.0, 4.0, -3.0, 1.0]
+    assert round_half_away(np.array([15541650.2933725]), 6)[0] == 15541650.293373
