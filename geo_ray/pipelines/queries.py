@@ -881,6 +881,76 @@ def q_minhash_pairs(sf_dir: str):
     return out.map_batches(unpack, batch_format="pyarrow")
 
 
+def q_minhash_pairs_joined(sf_dir: str):
+    """The 100 TB MinHash realization: the band shuffle carries
+    (band_key, doc_id) ONLY — signatures are never duplicated into band rows
+    (``q_minhash_pairs`` ships the 512-byte signature once per band = 16x
+    per document, which dominates shuffle volume at corpus scale). Candidate
+    pairs from the band runs are verified by joining BACK to the
+    one-row-per-doc signature table: pairs explode to two doc-keyed slots,
+    a doc_id co-partition attaches each member's signature, a pair_key
+    co-partition reassembles and estimates jaccard. Output identical to
+    q_minhash_pairs (pytest-pinned)."""
+    from geo_ray.stages import dedup as dedup_st
+    from geo_ray.stages.agg import hash_bucket_apply, tree_max
+
+    docs = _docs_ds(sf_dir)
+    bands = docs.map_batches(dedup_st.minhash_bands_lean, batch_format="pyarrow")
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bucket = b["band_key"].to_numpy().view(np.uint64) % np.uint64(64)
+        return b.append_column("bucket", pa.array(bucket.astype(np.int64)))
+
+    bands = bands.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    cand = hash_bucket_apply(bands, "bucket", dedup_st.band_candidates)
+
+    def pack(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy().astype(np.uint64)
+        bb = b["doc_b"].to_numpy().astype(np.uint64)
+        if a.size and (int(max(a.max(), bb.max())) >> 32):
+            raise ValueError("doc_id >= 2^32: widen pair_key to a 2-column key")
+        return pa.table(
+            {
+                "pair_key": pa.array(((a << np.uint64(32)) | bb).view(np.int64)),
+                "one": pa.array(np.ones(a.size, dtype=np.int64)),
+            }
+        )
+
+    distinct_pairs = tree_max(cand.map_batches(pack, batch_format="pyarrow"), "pair_key", "one")
+    slots = distinct_pairs.map_batches(dedup_st.explode_pair_slots, batch_format="pyarrow")
+
+    def sig_side(b: pa.Table) -> pa.Table:
+        t = dedup_st.doc_signatures(b)
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "pair_key": pa.array(np.zeros(n, dtype=np.int64)),
+                "slot": pa.array(np.full(n, -1, dtype=np.int64)),
+                "sig": t["sig"],
+                "side": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    sigs = docs.map_batches(sig_side, batch_format="pyarrow")
+
+    def add_dbucket(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy().astype(np.int64)
+        return b.append_column("dbucket", pa.array(d % np.int64(64)))
+
+    both = slots.union(sigs).map_batches(add_dbucket, batch_format="pyarrow")
+    attached = hash_bucket_apply(both, "dbucket", dedup_st.attach_pair_sigs)
+
+    def add_pbucket(b: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F401
+
+        k = b["pair_key"].to_numpy().astype(np.int64)
+        return b.append_column("pbucket", pa.array(k % np.int64(64)))
+
+    attached = attached.map_batches(add_pbucket, batch_format="pyarrow")
+    return hash_bucket_apply(attached, "pbucket", dedup_st.verify_pairs)
+
+
 def q_simhash(sf_dir: str):
     from geo_ray.stages import dedup as dedup_st
 

@@ -125,16 +125,7 @@ def minhash_bands(batch: pa.Table) -> pa.Table:
     doc_ids = batch["doc_id"].to_numpy()
     n = batch.num_rows
     sigs = batch_signatures(batch["text"])
-    band_keys = np.zeros((n, N_BANDS), dtype=np.int64)
-    with np.errstate(over="ignore"):
-        for b in range(N_BANDS):
-            chunk = sigs[:, b * _ROWS : (b + 1) * _ROWS]
-            h = np.full(n, 14695981039346656037, dtype=np.uint64)
-            for r in range(_ROWS):
-                h = (h ^ chunk[:, r]) * np.uint64(1099511628211)
-            band_keys[:, b] = ((h & np.uint64((1 << 56) - 1)) | (np.uint64(b) << np.uint64(56))).view(
-                np.int64
-            )
+    band_keys = _band_keys(sigs, n)
     out_doc = np.repeat(doc_ids, N_BANDS)
     out_key = band_keys.ravel()
     sig_bytes = [sigs[i].tobytes() for i in range(n) for _ in range(N_BANDS)]
@@ -145,6 +136,21 @@ def minhash_bands(batch: pa.Table) -> pa.Table:
             "sig": pa.array(sig_bytes, type=pa.binary()),
         }
     )
+
+
+def _band_keys(sigs: np.ndarray, n: int) -> np.ndarray:
+    """(n, N_BANDS) packed (band_id, band_hash) int64 groupby keys."""
+    band_keys = np.zeros((n, N_BANDS), dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for b in range(N_BANDS):
+            chunk = sigs[:, b * _ROWS : (b + 1) * _ROWS]
+            h = np.full(n, 14695981039346656037, dtype=np.uint64)
+            for r in range(_ROWS):
+                h = (h ^ chunk[:, r]) * np.uint64(1099511628211)
+            band_keys[:, b] = (
+                (h & np.uint64((1 << 56) - 1)) | (np.uint64(b) << np.uint64(56))
+            ).view(np.int64)
+    return band_keys
 
 
 def coarse_bucket_pairs(group, threshold: float = 0.6):
@@ -185,6 +191,148 @@ def coarse_bucket_pairs(group, threshold: float = 0.6):
         return empty
     return pd.DataFrame(
         {"doc_a": a, "doc_b": np.concatenate(out_b), "est_jaccard": np.concatenate(out_j)}
+    )
+
+
+def minhash_bands_lean(batch: pa.Table) -> pa.Table:
+    """documents -> (band_key, doc_id) rows ONLY (24 bytes/row) plus nothing
+    else — the 100 TB band shuffle. Signatures are NOT duplicated into the
+    band rows (the default ``minhash_bands`` carries the 512-byte signature
+    16x per doc, which dominates shuffle volume at corpus scale); instead
+    the candidate pairs are joined back to a one-row-per-doc signature
+    table afterwards (``attach_pair_sigs``)."""
+    doc_ids = batch["doc_id"].to_numpy()
+    n = batch.num_rows
+    sigs = batch_signatures(batch["text"])
+    band_keys = _band_keys(sigs, n)
+    return pa.table(
+        {
+            "band_key": pa.array(band_keys.ravel()),
+            "doc_id": pa.array(np.repeat(doc_ids, N_BANDS)),
+        }
+    )
+
+
+def doc_signatures(batch: pa.Table) -> pa.Table:
+    """(doc_id, sig) — one signature row per document (the join side)."""
+    sigs = batch_signatures(batch["text"])
+    n = batch.num_rows
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "sig": pa.array([sigs[i].tobytes() for i in range(n)], type=pa.binary()),
+        }
+    )
+
+
+def band_candidates(group):
+    """Per bucket: runs of identical band_key with >= 2 docs -> candidate
+    (doc_a < doc_b) pairs, NO verification yet (no signatures here)."""
+    import pandas as pd
+
+    bk = group["band_key"].to_numpy()
+    ids = group["doc_id"].to_numpy()
+    order = np.lexsort((ids, bk))
+    bk, ids = bk[order], ids[order]
+    keep = np.ones(bk.size, dtype=bool)
+    keep[1:] = (bk[1:] != bk[:-1]) | (ids[1:] != ids[:-1])
+    bk, ids = bk[keep], ids[keep]
+    starts = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
+    lens = np.diff(np.concatenate([starts, [bk.size]]))
+    out_a, out_b = [], []
+    for s, ln in zip(starts[lens >= 2], lens[lens >= 2]):
+        g_ids = ids[s : s + ln]
+        iu, ju = np.triu_indices(g_ids.size, 1)
+        out_a.append(g_ids[iu])
+        out_b.append(g_ids[ju])
+    if not out_a:
+        return pd.DataFrame(
+            {"doc_a": np.array([], dtype=np.int64), "doc_b": np.array([], dtype=np.int64)}
+        )
+    return pd.DataFrame(
+        {
+            "doc_a": np.concatenate(out_a).astype(np.int64),
+            "doc_b": np.concatenate(out_b).astype(np.int64),
+        }
+    )
+
+
+def explode_pair_slots(batch: pa.Table) -> pa.Table:
+    """(pair_key) -> two rows (doc_id, pair_key, slot) — each pair fetches
+    both members' signatures through a doc_id-keyed co-partition."""
+    k = batch["pair_key"].to_numpy().view(np.uint64)
+    a = (k >> np.uint64(32)).astype(np.int64)
+    b = (k & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    n = k.size
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate([a, b])),
+            "pair_key": pa.array(np.tile(k.view(np.int64), 2)),
+            "slot": pa.array(
+                np.concatenate([np.zeros(n, np.int64), np.ones(n, np.int64)])
+            ),
+            "sig": pa.array([None] * (2 * n), type=pa.binary()),
+            "side": pa.array(np.ones(2 * n, dtype=np.int64)),  # probe
+        }
+    )
+
+
+def attach_pair_sigs(group):
+    """Per doc_id bucket: attach each doc's signature to its pair slots."""
+    import pandas as pd
+
+    side = group["side"].to_numpy()
+    sigs = group[side == 0]
+    probes = group[side == 1]
+    if len(probes) == 0:
+        return pd.DataFrame({"pair_key": [], "slot": [], "sig": []})
+    sid = sigs["doc_id"].to_numpy(np.int64)
+    order = np.argsort(sid, kind="mergesort")
+    sid = sid[order]
+    sval = sigs["sig"].to_numpy()[order]
+    pid = probes["doc_id"].to_numpy(np.int64)
+    pos = np.searchsorted(sid, pid)
+    pos = np.minimum(pos, max(sid.size - 1, 0))
+    ok = sid.size > 0
+    hit = (sid[pos] == pid) if ok else np.zeros(pid.size, dtype=bool)
+    return pd.DataFrame(
+        {
+            "pair_key": probes["pair_key"].to_numpy(np.int64)[hit],
+            "slot": probes["slot"].to_numpy(np.int64)[hit],
+            "sig": sval[pos[hit]],
+        }
+    )
+
+
+def verify_pairs(group, threshold: float = 0.6):
+    """Per pair_key bucket: both slots present -> estimate jaccard from the
+    two signatures, keep >= threshold."""
+    import pandas as pd
+
+    pk = group["pair_key"].to_numpy(np.int64)
+    if pk.size == 0:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
+    slot = group["slot"].to_numpy(np.int64)
+    order = np.lexsort((slot, pk))
+    pk, slot = pk[order], slot[order]
+    sig = group["sig"].to_numpy()[order]
+    # pairs arrive as (slot0, slot1) runs of length exactly 2
+    starts = np.flatnonzero(np.concatenate([[True], pk[1:] != pk[:-1]]))
+    lens = np.diff(np.concatenate([starts, [pk.size]]))
+    full = starts[lens == 2]
+    if full.size == 0:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
+    s0 = np.stack([np.frombuffer(x, dtype=np.uint64) for x in sig[full]])
+    s1 = np.stack([np.frombuffer(x, dtype=np.uint64) for x in sig[full + 1]])
+    est = (s0 == s1).mean(axis=1)
+    keep = est >= threshold
+    k = pk[full][keep].view(np.uint64)
+    return pd.DataFrame(
+        {
+            "doc_a": (k >> np.uint64(32)).astype(np.int64),
+            "doc_b": (k & np.uint64(0xFFFFFFFF)).astype(np.int64),
+            "est_jaccard": fixed_k.round_half_away(est[keep], 3),
+        }
     )
 
 

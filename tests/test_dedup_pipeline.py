@@ -161,3 +161,17 @@ def test_hll_estimate_accuracy(ray_session):
         full[sub.register.to_numpy(int)] = sub.max_rank.to_numpy(int)
         est = Q.hll_estimate(full)
         assert abs(est - r.n) / r.n < 0.35, (r.event_type, est, r.n)
+
+
+def test_minhash_joined_equals_carried(ray_session):
+    """The lean band shuffle + signature join-back produces exactly the
+    carried-signature pipeline's pair set (both scales of fixture)."""
+    from geo_ray.pipelines import queries as Q
+
+    for sf in ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]:
+        a = Q.q_minhash_pairs(sf).to_pandas()
+        b = Q.q_minhash_pairs_joined(sf).to_pandas()
+        ka = sorted(zip(a.doc_a.astype(int), a.doc_b.astype(int), a.est_jaccard))
+        kb = sorted(zip(b.doc_a.astype(int), b.doc_b.astype(int), b.est_jaccard))
+        assert ka == kb
+        assert len(ka) > 0
