@@ -129,6 +129,7 @@ def bench_queries(sf_dir: str):
         "event_asof_orders": lambda: Q.q_event_asof_orders(sf_dir),
         "top_terms": lambda: Q.q_top_terms(sf_dir),
         "exact_dedup": lambda: Q.q_exact_dedup(sf_dir),
+        "minhash_pairs_joined": lambda: Q.q_minhash_pairs_joined(sf_dir),
         "cluster_copart": lambda: Q.q_cluster_copart(sf_dir),
     }
 
