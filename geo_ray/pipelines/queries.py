@@ -1545,8 +1545,9 @@ def q_doc_len_quantiles(sf_dir: str):
     hist = coalesce_for_shuffle(ds).groupby("lk").aggregate(Sum("n_partial", alias_name="n"))
 
     def split(b: pa.Table) -> pa.Table:
-        lk = b["lk"].to_numpy(zero_copy_only=False).astype("U24")
-        parts = np.char.partition(lk, "|")
+        lk = b["lk"].to_numpy(zero_copy_only=False)
+        lk_w = max(1, max((len(t) for t in lk), default=1))
+        parts = np.char.partition(lk.astype(f"U{lk_w}"), "|")
         return pa.table(
             {
                 "lang": pa.array(parts[:, 0].tolist()),
@@ -1791,7 +1792,8 @@ def q_user_distinct_hll(sf_dir: str):
             axis=1, dtype=np.int64
         )
         rank = np.where(w == 0, 27, 27 - bl)
-        key = np.char.add(np.char.add(et.astype("U16"), "|"), reg.astype("U3"))
+        et_w = max(1, max((len(t) for t in et), default=1))
+        key = np.char.add(np.char.add(et.astype(f"U{et_w}"), "|"), reg.astype("U3"))
         # per-batch max per key
         u, inv = np.unique(key, return_inverse=True)
         mx = np.zeros(u.size, dtype=np.int64)
@@ -1807,8 +1809,9 @@ def q_user_distinct_hll(sf_dir: str):
     )
 
     def split(b: pa.Table) -> pa.Table:
-        er = b["er"].to_numpy(zero_copy_only=False).astype("U24")
-        parts_ = np.char.partition(er, "|")
+        er = b["er"].to_numpy(zero_copy_only=False)
+        er_w = max(1, max((len(t) for t in er), default=1))
+        parts_ = np.char.partition(er.astype(f"U{er_w}"), "|")
         return pa.table(
             {
                 "event_type": pa.array(parts_[:, 0].tolist()),
