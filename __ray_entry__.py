@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": Q.q_fingerprints,
         "minhash_pairs": Q.q_minhash_pairs,
         "minhash_pairs_joined": Q.q_minhash_pairs_joined,
+        "doc_dup_components": Q.q_doc_dup_components,
         "simhash": Q.q_simhash,
         "simhash_dup_pairs": Q.q_simhash_dup_pairs,
         "ngram_dup_groups": Q.q_ngram_dup_groups,

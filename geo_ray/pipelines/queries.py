@@ -951,6 +951,38 @@ def q_minhash_pairs_joined(sf_dir: str):
     return hash_bucket_apply(attached, "pbucket", dedup_st.verify_pairs)
 
 
+def q_doc_dup_components(sf_dir: str):
+    """Near-duplicate document GROUPS: connected components over the
+    MinHash+LSH pair graph, each clustered doc labeled with its component's
+    minimum doc_id — the dedup-grouping step a training pipeline applies
+    after pair generation (keep one doc per component). Reuses the
+    distributed star-contraction/single-reducer component machinery of the
+    clustering stage; rows-only (iterative — not SQL-expressible), pinned by
+    pytest against a sequential union-find over the same pairs."""
+    from geo_ray.stages.cluster_copart import resolve_components
+
+    pairs = q_minhash_pairs(sf_dir)
+
+    def as_edges(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": b["doc_b"].cast(pa.int64()),
+                "v": b["doc_a"].cast(pa.int64()),
+            }
+        )
+
+    stars = resolve_components(pairs.map_batches(as_edges, batch_format="pyarrow"))
+
+    def finish(b) -> pa.Table:
+        if "u" not in b.column_names or b.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "component": pa.array([], pa.int64())}
+            )
+        return pa.table({"doc_id": b["u"], "component": b["v"]})
+
+    return stars.map_batches(finish, batch_format="pyarrow")
+
+
 def q_simhash(sf_dir: str):
     from geo_ray.stages import dedup as dedup_st
 

@@ -175,3 +175,20 @@ def test_minhash_joined_equals_carried(ray_session):
         kb = sorted(zip(b.doc_a.astype(int), b.doc_b.astype(int), b.est_jaccard))
         assert ka == kb
         assert len(ka) > 0
+
+
+def test_doc_dup_components_match_union_find(ray_session):
+    """Component labels over the minhash pair graph == sequential union-find
+    on the same pairs (min-id canonical form)."""
+    from geo_ray.pipelines import queries as Q
+    from geo_ray.stages.cluster_copart import union_find
+
+    sf = "/root/testdata/sf0.01"
+    pairs = Q.q_minhash_pairs(sf).to_pandas()
+    got_df = Q.q_doc_dup_components(sf).to_pandas()
+    got = dict(zip(got_df.doc_id.astype(int), got_df.component.astype(int)))
+    want = union_find(pairs.doc_a.to_numpy(np.int64), pairs.doc_b.to_numpy(np.int64))
+    nodes = set(pairs.doc_a.astype(int)) | set(pairs.doc_b.astype(int))
+    assert nodes, "fixture corpus must have near-dup pairs"
+    for n in nodes:
+        assert got.get(n, n) == want.get(n, n)
