@@ -103,6 +103,24 @@ def points_ds(sf_dir: str):
     return ds.map_batches(spans_st.explode_points, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def mix32_np(x: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Two-round 32-bit multiply-xorshift (lowbias32, 0x45d9f3b): every
+    product stays < 2^59, so the SQL twin computes the IDENTICAL BIGINT
+    values (a bare Knuth multiply overflows int64 for ids >= ~3.5e9 — NumPy
+    wraps silently while DuckDB errors). Shared by sampling, HLL and Bloom."""
+    h = (np.asarray(x).astype(np.int64) + seed * 40503) % 4294967296
+    h = ((h ^ (h >> 16)) * 0x45D9F3B) % 4294967296
+    h = ((h ^ (h >> 16)) * 0x45D9F3B) % 4294967296
+    return h ^ (h >> 16)
+
+
+def mix32_sql(col: str, seed: int = 0) -> str:
+    a = f"((({col}) + {seed * 40503}) % 4294967296)"
+    b = f"((xor({a}, {a} >> 16) * {0x45D9F3B}) % 4294967296)"
+    c = f"((xor({b}, {b} >> 16) * {0x45D9F3B}) % 4294967296)"
+    return f"xor({c}, {c} >> 16)"
+
+
 def _round_cols(batch: pa.Table, spec: dict) -> pa.Table:
     for col, nd in spec.items():
         i = batch.schema.get_field_index(col)
@@ -852,16 +870,8 @@ def q_minhash_pairs(sf_dir: str):
     pairs = hash_bucket_apply(ds, "bucket", dedup_st.coarse_bucket_pairs)
 
     def pack(b: pa.Table) -> pa.Table:
-        # (a << 32) | b in uint64, viewed int64 for the tree combine — exact
-        # for any doc_id < 2^32 (4.3B docs per shard namespace); the assert
-        # keeps silent collisions impossible beyond that.
-        a = b["doc_a"].to_numpy().astype(np.uint64)
-        bb = b["doc_b"].to_numpy().astype(np.uint64)
-        if a.size and (int(max(a.max(), bb.max())) >> 32):
-            raise ValueError("doc_id >= 2^32: widen pair_key to a 2-column key")
-        return b.append_column(
-            "pair_key", pa.array(((a << np.uint64(32)) | bb).view(np.int64))
-        )
+        keys = dedup_st.pack_pair_keys(b["doc_a"].to_numpy(), b["doc_b"].to_numpy())
+        return b.append_column("pair_key", pa.array(keys))
 
     pairs = pairs.map_batches(pack, batch_format="pyarrow")
     from geo_ray.stages import agg as agg_st
@@ -869,13 +879,9 @@ def q_minhash_pairs(sf_dir: str):
     out = agg_st.tree_max(pairs.select_columns(["pair_key", "est_jaccard"]), "pair_key", "est_jaccard")
 
     def unpack(b: pa.Table) -> pa.Table:
-        k = b["pair_key"].to_numpy().view(np.uint64)
+        da, db = dedup_st.unpack_pair_keys(b["pair_key"].to_numpy())
         return pa.table(
-            {
-                "doc_a": pa.array((k >> np.uint64(32)).astype(np.int64)),
-                "doc_b": pa.array((k & np.uint64(0xFFFFFFFF)).astype(np.int64)),
-                "est_jaccard": b["est_jaccard"],
-            }
+            {"doc_a": pa.array(da), "doc_b": pa.array(db), "est_jaccard": b["est_jaccard"]}
         )
 
     return out.map_batches(unpack, batch_format="pyarrow")
@@ -905,14 +911,11 @@ def q_minhash_pairs_joined(sf_dir: str):
     cand = hash_bucket_apply(bands, "bucket", dedup_st.band_candidates)
 
     def pack(b: pa.Table) -> pa.Table:
-        a = b["doc_a"].to_numpy().astype(np.uint64)
-        bb = b["doc_b"].to_numpy().astype(np.uint64)
-        if a.size and (int(max(a.max(), bb.max())) >> 32):
-            raise ValueError("doc_id >= 2^32: widen pair_key to a 2-column key")
+        keys = dedup_st.pack_pair_keys(b["doc_a"].to_numpy(), b["doc_b"].to_numpy())
         return pa.table(
             {
-                "pair_key": pa.array(((a << np.uint64(32)) | bb).view(np.int64)),
-                "one": pa.array(np.ones(a.size, dtype=np.int64)),
+                "pair_key": pa.array(keys),
+                "one": pa.array(np.ones(len(keys), dtype=np.int64)),
             }
         )
 
@@ -1059,16 +1062,8 @@ def q_simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
 
     # same pair found via several bands -> keep one (tree max over pair key)
     def pack(b: pa.Table) -> pa.Table:
-        a = b["doc_a"].to_numpy().astype(np.uint64)
-        bb = b["doc_b"].to_numpy().astype(np.uint64)
-        if a.size and (int(max(a.max(), bb.max())) >> 32):
-            raise ValueError("doc_id >= 2^32: widen pair_key to a 2-column key")
-        return pa.table(
-            {
-                "pair_key": pa.array(((a << np.uint64(32)) | bb).view(np.int64)),
-                "hamming": b["hamming"],
-            }
-        )
+        keys = dedup_st.pack_pair_keys(b["doc_a"].to_numpy(), b["doc_b"].to_numpy())
+        return pa.table({"pair_key": pa.array(keys), "hamming": b["hamming"]})
 
     from geo_ray.stages import agg as agg_st
 
@@ -1077,13 +1072,9 @@ def q_simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
     )
 
     def unpack(b: pa.Table) -> pa.Table:
-        k = b["pair_key"].to_numpy().view(np.uint64)
+        da, db = dedup_st.unpack_pair_keys(b["pair_key"].to_numpy())
         return pa.table(
-            {
-                "doc_a": pa.array((k >> np.uint64(32)).astype(np.int64)),
-                "doc_b": pa.array((k & np.uint64(0xFFFFFFFF)).astype(np.int64)),
-                "hamming": b["hamming"],
-            }
+            {"doc_a": pa.array(da), "doc_b": pa.array(db), "hamming": b["hamming"]}
         )
 
     return packed.map_batches(unpack, batch_format="pyarrow")
@@ -1256,7 +1247,7 @@ def q_stratified_sample(sf_dir: str):
         rate = np.full(doc_id.size, _STRATA_DEFAULT, dtype=np.int64)
         for lg, r in _STRATA_PERMILLE.items():
             rate[lang == lg] = r
-        keep = (doc_id * 2654435761) % 1000 < rate
+        keep = mix32_np(doc_id) % 1000 < rate
         return b.filter(pa.array(keep)).select(["doc_id", "lang"])
 
     ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
@@ -1264,7 +1255,7 @@ def q_stratified_sample(sf_dir: str):
 
 
 SQL_STRATIFIED_SAMPLE = f"""SELECT doc_id, lang FROM documents
-WHERE (doc_id * 2654435761) % 1000 <
+WHERE {mix32_sql('doc_id')} % 1000 <
   CASE lang {' '.join(f"WHEN '{lg}' THEN {r}" for lg, r in _STRATA_PERMILLE.items())}
   ELSE {_STRATA_DEFAULT} END"""
 
@@ -1435,8 +1426,15 @@ def q_pricing_summary(sf_dir: str):
     """TPC-H-Q1-style pricing summary over lineitem in EXACT integer
     arithmetic: cents/percent fixed-point partial sums per batch, a tiny
     4-key groupby, float rendering only at the end — bit-stable under any
-    combine order (the float-sum nondeterminism trap)."""
+    combine order (the float-sum nondeterminism trap). The per-batch partial
+    of each fixed-point sum is carried as a (quotient, remainder-mod-1e9)
+    PAIR so the cross-batch int64 Sums never wrap: a single charge_e6 column
+    would overflow int64 at ~8e7 rows per group (TPC-H sf ~55), far below
+    the 10^12-row target; the split form is exact to ~9e9 blocks of ~9e9
+    rows each (the finish reassembles in arbitrary-precision Python ints)."""
     from ray.data.aggregate import Sum
+
+    SPLIT = 1_000_000_000
 
     def partial(b: pa.Table) -> pa.Table:
         flag = b["l_returnflag"].to_numpy(zero_copy_only=False)
@@ -1453,16 +1451,13 @@ def q_pricing_summary(sf_dir: str):
             out = np.zeros(u.size, dtype=np.int64)
             np.add.at(out, inv, v)
             return out
-        return pa.table(
-            {
-                "k": pa.array(u.tolist()),
-                "sum_qty": pa.array(seg(qty)),
-                "base_cents": pa.array(seg(cents)),
-                "disc_e4": pa.array(seg(disc_e4)),
-                "charge_e6": pa.array(seg(charge_e6)),
-                "n_rows": pa.array(seg(np.ones(qty.size, dtype=np.int64))),
-            }
-        )
+        cols = {"k": pa.array(u.tolist()), "sum_qty": pa.array(seg(qty))}
+        for name, v in (("base", cents), ("disc", disc_e4), ("charge", charge_e6)):
+            t = seg(v)
+            cols[f"{name}_q"] = pa.array(t // SPLIT)
+            cols[f"{name}_r"] = pa.array(t % SPLIT)
+        cols["n_rows"] = pa.array(seg(np.ones(qty.size, dtype=np.int64)))
+        return pa.table(cols)
 
     rd = _rd()
     ds = rd.read_parquet(
@@ -1477,24 +1472,36 @@ def q_pricing_summary(sf_dir: str):
     ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     agg = coalesce_for_shuffle(ds).groupby("k").aggregate(
         Sum("sum_qty", alias_name="sum_qty"),
-        Sum("base_cents", alias_name="base_cents"),
-        Sum("disc_e4", alias_name="disc_e4"),
-        Sum("charge_e6", alias_name="charge_e6"),
+        Sum("base_q", alias_name="base_q"),
+        Sum("base_r", alias_name="base_r"),
+        Sum("disc_q", alias_name="disc_q"),
+        Sum("disc_r", alias_name="disc_r"),
+        Sum("charge_q", alias_name="charge_q"),
+        Sum("charge_r", alias_name="charge_r"),
         Sum("n_rows", alias_name="n_rows"),
     )
 
     def finish(b: pa.Table) -> pa.Table:
         k = b["k"].to_numpy(zero_copy_only=False).astype("U3")
+
+        def exact(name, divisor):
+            qs = b[f"{name}_q"].to_numpy()
+            rs = b[f"{name}_r"].to_numpy()
+            # arbitrary-precision reassembly, then one double division —
+            # identical to DuckDB's HUGEINT sum -> double render
+            vals = [
+                float(int(q) * SPLIT + int(r)) / divisor for q, r in zip(qs, rs)
+            ]
+            return pa.array(fixed_k.round_half_away(np.array(vals), 2))
+
         return pa.table(
             {
                 "l_returnflag": pa.array([s.split("|")[0] for s in k]),
                 "l_linestatus": pa.array([s.split("|")[1] for s in k]),
                 "sum_qty": b["sum_qty"],
-                "sum_base_price": pa.array(
-                    fixed_k.round_half_away(b["base_cents"].to_numpy() / 100.0, 2)
-                ),
-                "sum_disc_price": pa.array(fixed_k.round_half_away(b["disc_e4"].to_numpy() / 1e4, 2)),
-                "sum_charge": pa.array(fixed_k.round_half_away(b["charge_e6"].to_numpy() / 1e6, 2)),
+                "sum_base_price": exact("base", 100.0),
+                "sum_disc_price": exact("disc", 1e4),
+                "sum_charge": exact("charge", 1e6),
                 "n_rows": b["n_rows"],
             }
         )
@@ -1566,7 +1573,8 @@ def q_doc_len_quantiles(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         lang = b["lang"].to_numpy(zero_copy_only=False)
         nc = b["n_chars"].to_numpy().astype(np.int64)
-        key = np.char.add(np.char.add(lang.astype("U8"), "|"), nc.astype("U12"))
+        lang_w = max(1, max((len(t) for t in lang), default=1))
+        key = np.char.add(np.char.add(lang.astype(f"U{lang_w}"), "|"), nc.astype("U12"))
         u, cnt = np.unique(key, return_counts=True)
         return pa.table({"lk": pa.array(u.tolist()), "n_partial": pa.array(cnt.astype(np.int64))})
 
@@ -1612,8 +1620,8 @@ def q_doc_len_quantiles(sf_dir: str):
             {
                 "lang": [g["lang"].iloc[0]],
                 "n_docs": [total],
-                "p50": [round(qc(0.5), 6)],
-                "p90": [round(qc(0.9), 6)],
+                "p50": [float(fixed_k.round_half_away(qc(0.5), 6))],
+                "p90": [float(fixed_k.round_half_away(qc(0.9), 6))],
             }
         )
 
@@ -1710,19 +1718,13 @@ _BLOOM_SEEDS = (1, 2, 3)
 
 
 def _bloom_bits_np(x: np.ndarray, seed: int) -> np.ndarray:
-    """Bit index of value x under hash ``seed`` — the same lowbias32 mixer as
-    the HLL sketch, seed folded in additively (all products < 2^59)."""
-    h = (x.astype(np.int64) + seed * 40503) % 4294967296
-    h = ((h ^ (h >> 16)) * 0x45D9F3B) % 4294967296
-    h = ((h ^ (h >> 16)) * 0x45D9F3B) % 4294967296
-    return (h ^ (h >> 16)) % _BLOOM_M
+    """Bit index of value x under hash ``seed`` (mix32 with the seed folded
+    in additively)."""
+    return mix32_np(x, seed) % _BLOOM_M
 
 
 def _bloom_bit_sql(col: str, seed: int) -> str:
-    a = f"(({col} + {seed * 40503}) % 4294967296)"
-    b = f"((xor({a}, {a} >> 16) * {0x45D9F3B}) % 4294967296)"
-    c = f"((xor({b}, {b} >> 16) * {0x45D9F3B}) % 4294967296)"
-    return f"(xor({c}, {c} >> 16) % {_BLOOM_M})"
+    return f"({mix32_sql(col, seed)} % {_BLOOM_M})"
 
 
 def q_customers_bloom_prefilter(sf_dir: str):
@@ -1926,7 +1928,7 @@ def q_price_quantile_sketch(sf_dir: str):
             i = int(np.searchsorted(cum, rank))
             rep = 2.0 * _DD_GAMMA ** int(k[i]) / (_DD_GAMMA + 1.0)
             out_q.append(q)
-            out_v.append(round(rep, 2))
+            out_v.append(float(fixed_k.round_half_away(rep, 2)))
         return pa.table(
             {
                 "q": pa.array(out_q),
@@ -2067,7 +2069,10 @@ def q_top_terms(sf_dir: str):
         flat, lang_of = flat[keep], lang_of[keep]
         # width sized to the actual longest token — no silent truncation
         tok_w = max(1, max((len(t) for t in flat), default=1))
-        key = np.char.add(np.char.add(lang_of.astype("U8"), " "), flat.astype(f"U{tok_w}"))
+        lang_w = max(1, max((len(t) for t in lang_of), default=1))
+        key = np.char.add(
+            np.char.add(lang_of.astype(f"U{lang_w}"), " "), flat.astype(f"U{tok_w}")
+        )
         u, cnt = np.unique(key, return_counts=True)
         return pa.table(
             {"lt": pa.array(u.tolist()), "n_partial": pa.array(cnt.astype(np.int64))}
@@ -2875,18 +2880,18 @@ SQL_PIP_JOIN_INDEXED = f"{POINTS_CTE}\n" + "\nUNION ALL\n".join(
 
 
 def q_doc_sample(sf_dir: str):
-    """Deterministic 10% hash sample of documents (Knuth multiplicative hash
-    on doc_id — the reproducible sampling a training pipeline needs; no RNG,
-    so the SQL twin is exact)."""
+    """Deterministic 10% hash sample of documents (mix32 of doc_id — the
+    reproducible sampling a training pipeline needs; no RNG, the SQL twin is
+    exact, and every intermediate stays BIGINT-safe for any int64 id)."""
     def stage(b: pa.Table) -> pa.Table:
         doc_id = b["doc_id"].to_numpy().astype(np.int64)
-        keep = (doc_id * 2654435761) % 100 < 10
+        keep = mix32_np(doc_id) % 100 < 10
         return b.filter(pa.array(keep)).select(["doc_id"])
 
     return _docs_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
 
-SQL_DOC_SAMPLE = "SELECT doc_id FROM documents WHERE (doc_id * 2654435761) % 100 < 10"
+SQL_DOC_SAMPLE = f"SELECT doc_id FROM documents WHERE {mix32_sql('doc_id')} % 100 < 10"
 
 
 def q_parts_by_brand(sf_dir: str):

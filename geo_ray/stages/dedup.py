@@ -115,6 +115,24 @@ def batch_signatures(texts, k: int = 3) -> np.ndarray:
     return out
 
 
+def pack_pair_keys(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(doc_a, doc_b) -> one int64 combine key: (a << 32) | b in uint64,
+    viewed int64 — exact for any doc_id < 2^32 (4.3B per shard namespace);
+    the guard makes silent collisions beyond that impossible. Single source
+    of truth for every pair pipeline (minhash, simhash, join-back)."""
+    a = np.asarray(a).astype(np.uint64)
+    b = np.asarray(b).astype(np.uint64)
+    if a.size and (int(max(a.max(), b.max())) >> 32):
+        raise ValueError("doc_id >= 2^32: widen pair_key to a 2-column key")
+    return ((a << np.uint64(32)) | b).view(np.int64)
+
+
+def unpack_pair_keys(k: np.ndarray):
+    """Inverse of :func:`pack_pair_keys` -> (doc_a, doc_b) int64 arrays."""
+    k = np.asarray(k).view(np.uint64)
+    return (k >> np.uint64(32)).astype(np.int64), (k & np.uint64(0xFFFFFFFF)).astype(np.int64)
+
+
 def minhash_bands(batch: pa.Table) -> pa.Table:
     """documents -> one row per (band, doc): (band_key, doc_id, sig binary).
 
