@@ -90,12 +90,16 @@ def test_simplify_mask_monotone_and_endpoints(coords):
 @settings(max_examples=50, deadline=None)
 @given(st.lists(st.text(max_size=80), min_size=1, max_size=30))
 def test_text_hashes_arrow_equals_scalar(texts):
+    import hashlib
+
     import pyarrow as pa
 
     h1, h2, lens = strhash.text_hashes_arrow(pa.array(texts, type=pa.string()))
     for i, t in enumerate(texts):
         assert lens[i] == len(t.encode("utf-8"))
-        assert int(np.uint64(h1[i])) == hash_str64(t)
+        d = hashlib.blake2b(t.encode("utf-8"), digest_size=16).digest()
+        assert int(np.uint64(h1[i])) == int.from_bytes(d[:8], "little")
+        assert int(np.uint64(h2[i])) == int.from_bytes(d[8:], "little")
 
 
 @settings(max_examples=50, deadline=None)

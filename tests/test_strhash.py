@@ -50,23 +50,18 @@ def test_batch_signatures_match_scalar():
 
 
 def test_text_hashes_arrow_matches_scalar():
+    import hashlib
+
     import pyarrow as pa
 
     col = pa.chunked_array([pa.array(TEXTS[:3]), pa.array(TEXTS[3:])])
     h1, h2, lens = strhash.text_hashes_arrow(col)
     want_len = [len(t.encode("utf-8")) for t in TEXTS]
     assert lens.tolist() == want_len
-    want_h1 = np.array([dedup.hash_str64(t) for t in TEXTS], dtype=np.uint64)
-    assert (h1.view(np.uint64) == want_h1).all()
-    # h2: same recurrence, different constants — scalar re-derivation
-    def scalar_h2(s):
-        h = int(strhash.FNV_OFFSET2)
-        for b in s.encode("utf-8"):
-            h = ((h ^ b) * int(strhash.FNV_PRIME2)) & 0xFFFFFFFFFFFFFFFF
-        return h
-
-    want_h2 = np.array([scalar_h2(t) for t in TEXTS], dtype=np.uint64)
-    assert (h2.view(np.uint64) == want_h2).all()
+    for i, t in enumerate(TEXTS):
+        d = hashlib.blake2b(t.encode("utf-8"), digest_size=16).digest()
+        assert int(np.uint64(h1[i])) == int.from_bytes(d[:8], "little")
+        assert int(np.uint64(h2[i])) == int.from_bytes(d[8:], "little")
 
 
 def test_text_hashes_arrow_distinguishes_texts():
