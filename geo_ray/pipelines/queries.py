@@ -901,7 +901,11 @@ def q_minhash_pairs_joined(sf_dir: str):
     from geo_ray.stages.agg import hash_bucket_apply, tree_max
 
     docs = _docs_ds(sf_dir)
-    bands = docs.map_batches(dedup_st.minhash_bands_lean, batch_format="pyarrow")
+    # sign the corpus EXACTLY ONCE: the (doc_id, sig) table is the persisted
+    # artifact (what jobs/dedup_job.py writes); bands derive from the sig
+    # bytes and the verification join reads the same table
+    sig_tbl = docs.map_batches(dedup_st.doc_signatures, batch_format="pyarrow").materialize()
+    bands = sig_tbl.map_batches(dedup_st.bands_from_signatures, batch_format="pyarrow")
 
     def add_bucket(b: pa.Table) -> pa.Table:
         bucket = b["band_key"].to_numpy().view(np.uint64) % np.uint64(64)
@@ -923,19 +927,18 @@ def q_minhash_pairs_joined(sf_dir: str):
     slots = distinct_pairs.map_batches(dedup_st.explode_pair_slots, batch_format="pyarrow")
 
     def sig_side(b: pa.Table) -> pa.Table:
-        t = dedup_st.doc_signatures(b)
-        n = t.num_rows
+        n = b.num_rows
         return pa.table(
             {
-                "doc_id": t["doc_id"].cast(pa.int64()),
+                "doc_id": b["doc_id"].cast(pa.int64()),
                 "pair_key": pa.array(np.zeros(n, dtype=np.int64)),
                 "slot": pa.array(np.full(n, -1, dtype=np.int64)),
-                "sig": t["sig"],
+                "sig": b["sig"],
                 "side": pa.array(np.zeros(n, dtype=np.int64)),
             }
         )
 
-    sigs = docs.map_batches(sig_side, batch_format="pyarrow")
+    sigs = sig_tbl.map_batches(sig_side, batch_format="pyarrow")
 
     def add_dbucket(b: pa.Table) -> pa.Table:
         d = b["doc_id"].to_numpy().astype(np.int64)

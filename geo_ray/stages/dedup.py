@@ -212,24 +212,6 @@ def coarse_bucket_pairs(group, threshold: float = 0.6):
     )
 
 
-def minhash_bands_lean(batch: pa.Table) -> pa.Table:
-    """documents -> (band_key, doc_id) rows ONLY (24 bytes/row) plus nothing
-    else — the 100 TB band shuffle. Signatures are NOT duplicated into the
-    band rows (the default ``minhash_bands`` carries the 512-byte signature
-    16x per doc, which dominates shuffle volume at corpus scale); instead
-    the candidate pairs are joined back to a one-row-per-doc signature
-    table afterwards (``attach_pair_sigs``)."""
-    doc_ids = batch["doc_id"].to_numpy()
-    n = batch.num_rows
-    sigs = batch_signatures(batch["text"])
-    band_keys = _band_keys(sigs, n)
-    return pa.table(
-        {
-            "band_key": pa.array(band_keys.ravel()),
-            "doc_id": pa.array(np.repeat(doc_ids, N_BANDS)),
-        }
-    )
-
 
 def doc_signatures(batch: pa.Table) -> pa.Table:
     """(doc_id, sig) — one signature row per document (the join side)."""
@@ -239,6 +221,34 @@ def doc_signatures(batch: pa.Table) -> pa.Table:
         {
             "doc_id": batch["doc_id"],
             "sig": pa.array([sigs[i].tobytes() for i in range(n)], type=pa.binary()),
+        }
+    )
+
+
+def bands_from_signatures(batch: pa.Table) -> pa.Table:
+    """(doc_id, sig) rows -> (band_key, doc_id) band rows WITHOUT re-signing:
+    band keys are a pure function of the signature bytes, so the corpus is
+    signed exactly once and the persisted signature table (the dedup-job
+    artifact) feeds both the band shuffle and the verification join."""
+    arr = batch["sig"]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return pa.table(
+            {"band_key": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+        )
+    voffs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    seg = np.array(data[voffs[0] : voffs[-1]])  # copy -> aligned
+    sigs = seg.view(np.uint64).reshape(n, N_HASH)
+    band_keys = _band_keys(sigs, n)
+    return pa.table(
+        {
+            "band_key": pa.array(band_keys.ravel()),
+            "doc_id": pa.array(np.repeat(batch["doc_id"].to_numpy().astype(np.int64), N_BANDS)),
         }
     )
 
@@ -402,10 +412,11 @@ def ngram_allpairs_jaccard(ids, texts, n: int = 3, threshold: float = 0.5):
 
 
 def ngram_jaccard_pairs(group, n: int = 3, threshold: float = 0.5):
-    """map_groups: exact word n-gram Jaccard pairs within one (lang, source)
-    bucket, with a minhash-band LSH prefilter so the exact set intersection
-    runs only on candidate pairs — never an O(m^2) all-pairs scan over a hot
-    bucket (VERDICT r1: the popular (en, web) bucket killed the old form).
+    """map_groups: word n-gram Jaccard pairs within one (lang, source)
+    bucket — EXACT Jaccard values on an LSH-generated candidate set (the
+    candidate generation is probabilistic; see the recall figures below),
+    never an O(m^2) all-pairs scan over a hot bucket (VERDICT r1: the
+    popular (en, web) bucket killed the old form).
 
     Candidates = pairs sharing at least one of 32 two-row minhash bands
     (reusing the batch-vectorized signature kernel). Miss probability for a
