@@ -107,8 +107,15 @@ def mix32_np(x: np.ndarray, seed: int = 0) -> np.ndarray:
     """Two-round 32-bit multiply-xorshift (lowbias32, 0x45d9f3b): every
     product stays < 2^59, so the SQL twin computes the IDENTICAL BIGINT
     values (a bare Knuth multiply overflows int64 for ids >= ~3.5e9 — NumPy
-    wraps silently while DuckDB errors). Shared by sampling, HLL and Bloom."""
-    h = (np.asarray(x).astype(np.int64) + seed * 40503) % 4294967296
+    wraps silently while DuckDB errors). Shared by sampling, HLL and Bloom.
+
+    Domain: NON-NEGATIVE ids below 2^63 - seed*40503 (guarded) — NumPy's %
+    is sign-of-divisor while SQL's is sign-of-dividend, so negative ids
+    would silently diverge between the twins."""
+    x = np.asarray(x).astype(np.int64)
+    if x.size and (int(x.min()) < 0 or int(x.max()) > (1 << 63) - 1 - seed * 40503):
+        raise ValueError("mix32 ids must be in [0, 2^63 - seed*40503)")
+    h = (x + seed * 40503) % 4294967296
     h = ((h ^ (h >> 16)) * 0x45D9F3B) % 4294967296
     h = ((h ^ (h >> 16)) * 0x45D9F3B) % 4294967296
     return h ^ (h >> 16)
@@ -1429,12 +1436,14 @@ def q_pricing_summary(sf_dir: str):
     """TPC-H-Q1-style pricing summary over lineitem in EXACT integer
     arithmetic: cents/percent fixed-point partial sums per batch, a tiny
     4-key groupby, float rendering only at the end — bit-stable under any
-    combine order (the float-sum nondeterminism trap). The per-batch partial
-    of each fixed-point sum is carried as a (quotient, remainder-mod-1e9)
-    PAIR so the cross-batch int64 Sums never wrap: a single charge_e6 column
-    would overflow int64 at ~8e7 rows per group (TPC-H sf ~55), far below
-    the 10^12-row target; the split form is exact to ~9e9 blocks of ~9e9
-    rows each (the finish reassembles in arbitrary-precision Python ints)."""
+    combine order (the float-sum nondeterminism trap). Each fixed-point
+    value splits PER ROW into (quotient, remainder-mod-1e9) before any
+    accumulation, so neither the in-batch accumulate nor the cross-batch
+    int64 Sums can wrap: an unsplit charge_e6 column would overflow int64
+    at ~8e7 rows per group (TPC-H sf ~55); the split form is safe to ~9e9
+    rows per BATCH-group (a >270 GB block — unreachable) and ~8e16 rows per
+    global group (the finish reassembles in arbitrary-precision Python
+    ints)."""
     from ray.data.aggregate import Sum
 
     SPLIT = 1_000_000_000
@@ -1456,9 +1465,8 @@ def q_pricing_summary(sf_dir: str):
             return out
         cols = {"k": pa.array(u.tolist()), "sum_qty": pa.array(seg(qty))}
         for name, v in (("base", cents), ("disc", disc_e4), ("charge", charge_e6)):
-            t = seg(v)
-            cols[f"{name}_q"] = pa.array(t // SPLIT)
-            cols[f"{name}_r"] = pa.array(t % SPLIT)
+            cols[f"{name}_q"] = pa.array(seg(v // SPLIT))
+            cols[f"{name}_r"] = pa.array(seg(v % SPLIT))
         cols["n_rows"] = pa.array(seg(np.ones(qty.size, dtype=np.int64)))
         return pa.table(cols)
 
@@ -1815,14 +1823,10 @@ def q_user_distinct_hll(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         et = b["event_type"].to_numpy(zero_copy_only=False)
         uid = b["user_id"].to_numpy().astype(np.int64)
-        # 32-bit multiply-xorshift mixer (two rounds) — a bare multiplicative
-        # hash leaves sequential ids structured in the low bits and wrecks
-        # the leading-zero statistics; every op stays < 2^63 so the SQL twin
-        # computes the identical BIGINT values
-        h = uid % 4294967296
-        h = ((h ^ (h >> 16)) * 0x45D9F3B) % 4294967296
-        h = ((h ^ (h >> 16)) * 0x45D9F3B) % 4294967296
-        h32 = h ^ (h >> 16)
+        # shared lowbias mixer — a bare multiplicative hash leaves
+        # sequential ids structured in the low bits and wrecks the
+        # leading-zero statistics
+        h32 = mix32_np(uid)
         reg = h32 >> 26  # top 6 bits
         w = h32 & ((1 << 26) - 1)
         bl = (w[:, None] >= (np.int64(1) << np.arange(26, dtype=np.int64))[None, :]).sum(
@@ -1860,12 +1864,8 @@ def q_user_distinct_hll(sf_dir: str):
     return regs.map_batches(split, batch_format="pyarrow")
 
 
-SQL_USER_DISTINCT_HLL = f"""WITH h1 AS (
-  SELECT event_type, (xor(user_id % 4294967296, (user_id % 4294967296) >> 16) * {0x45D9F3B}) % 4294967296 AS h FROM events
-), h2 AS (
-  SELECT event_type, (xor(h, h >> 16) * {0x45D9F3B}) % 4294967296 AS h FROM h1
-), h3 AS (
-  SELECT event_type, xor(h, h >> 16) AS h32 FROM h2
+SQL_USER_DISTINCT_HLL = f"""WITH h3 AS (
+  SELECT event_type, {mix32_sql('user_id')} AS h32 FROM events
 ), r AS (
   SELECT event_type, h32 >> 26 AS register, h32 & {(1 << 26) - 1} AS w FROM h3
 )

@@ -288,14 +288,13 @@ def band_candidates(group):
 def explode_pair_slots(batch: pa.Table) -> pa.Table:
     """(pair_key) -> two rows (doc_id, pair_key, slot) — each pair fetches
     both members' signatures through a doc_id-keyed co-partition."""
-    k = batch["pair_key"].to_numpy().view(np.uint64)
-    a = (k >> np.uint64(32)).astype(np.int64)
-    b = (k & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    k = batch["pair_key"].to_numpy()
+    a, b = unpack_pair_keys(k)
     n = k.size
     return pa.table(
         {
             "doc_id": pa.array(np.concatenate([a, b])),
-            "pair_key": pa.array(np.tile(k.view(np.int64), 2)),
+            "pair_key": pa.array(np.tile(k, 2)),
             "slot": pa.array(
                 np.concatenate([np.zeros(n, np.int64), np.ones(n, np.int64)])
             ),
@@ -354,11 +353,11 @@ def verify_pairs(group, threshold: float = 0.6):
     s1 = np.stack([np.frombuffer(x, dtype=np.uint64) for x in sig[full + 1]])
     est = (s0 == s1).mean(axis=1)
     keep = est >= threshold
-    k = pk[full][keep].view(np.uint64)
+    da, db = unpack_pair_keys(pk[full][keep])
     return pd.DataFrame(
         {
-            "doc_a": (k >> np.uint64(32)).astype(np.int64),
-            "doc_b": (k & np.uint64(0xFFFFFFFF)).astype(np.int64),
+            "doc_a": da,
+            "doc_b": db,
             "est_jaccard": fixed_k.round_half_away(est[keep], 3),
         }
     )

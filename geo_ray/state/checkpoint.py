@@ -22,7 +22,11 @@ from typing import Callable
 
 from geo_ray.state.manifest import Manifest
 
-KERNEL_VERSION = "geo_ray-r1"
+# Stamped into every manifest row; completed() filters on it, so bumping
+# this (REQUIRED whenever an output-affecting kernel changes, e.g. the r2
+# blake2b text-hash switch) makes resumed runs rebuild stale partitions
+# instead of silently mixing two algorithm versions in one artifact.
+KERNEL_VERSION = "geo_ray-r2-blake2b16"
 
 
 @dataclass
@@ -54,13 +58,17 @@ def run_resumable(
     many units run this call (used by tests to simulate a crash mid-run).
     """
     manifest = Manifest(os.path.join(out_dir, "_manifest.jsonl"))
-    done = manifest.completed()
+    done = manifest.completed(KERNEL_VERSION)
+    stale = manifest.completed() - done  # recorded by a different kernel version
 
     # clean partial partitions that never reached the manifest
     if os.path.isdir(out_dir):
         for name in os.listdir(out_dir):
             if name.startswith("part_id="):
                 pid = name.split("=", 1)[1]
+                if pid in stale:
+                    shutil.rmtree(os.path.join(out_dir, name))
+                    continue
                 if pid not in done:
                     shutil.rmtree(os.path.join(out_dir, name))
 

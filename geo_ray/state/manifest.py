@@ -34,8 +34,16 @@ class Manifest:
                     out.append(json.loads(line))
         return out
 
-    def completed(self) -> set[str]:
-        return {e["part_id"] for e in self.entries()}
+    def completed(self, kernel_version: str | None = None) -> set[str]:
+        """Completed partition ids; with ``kernel_version``, only partitions
+        produced by THAT kernel version count — a resumed run after a kernel
+        change must rebuild stale partitions, not silently mix outputs of two
+        algorithm versions (e.g. the r2 text-hash change)."""
+        return {
+            e["part_id"]
+            for e in self.entries()
+            if kernel_version is None or e.get("kernel_version") == kernel_version
+        }
 
     def record(self, part_id: str, **fields) -> dict:
         entry = {"part_id": part_id, "ts": time.time(), **fields}

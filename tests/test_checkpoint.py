@@ -117,3 +117,39 @@ def test_dedup_job_unit_and_resume(ray_session, tmp_path):
     assert s1["completed_total"] == 4 and s1["rows_out"] == 500
     s2 = run_resumable(frags, build_unit("/root/testdata/sf0.001"), out, unit_size=2)
     assert s2["skipped"] == 4 and s2["rows_out"] == 0
+
+
+def test_stale_kernel_version_partitions_rebuild(ray_session, tmp_path):
+    """Partitions recorded under a different kernel version are NOT skipped
+    on resume — they are cleaned and rebuilt (no silent mixing of two
+    algorithm versions in one artifact)."""
+    import json
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from geo_ray.state.checkpoint import Fragment, run_resumable
+    from jobs.dedup_job import build_unit
+
+    out = str(tmp_path / "o")
+    frags = [
+        Fragment(
+            part_id=f"shard{s}",
+            input_files=["/root/testdata/sf0.001/documents.parquet"],
+            params={"shard": s, "n_shards": 2},
+        )
+        for s in range(2)
+    ]
+    s1 = run_resumable(frags, build_unit("/root/testdata/sf0.001"), out, unit_size=2)
+    assert s1["completed_total"] == 2
+
+    # tamper: pretend one partition was written by an older kernel
+    mpath = f"{out}/_manifest.jsonl"
+    lines = [json.loads(line) for line in open(mpath)]
+    lines[0]["kernel_version"] = "geo_ray-r1"
+    with open(mpath, "w") as f:
+        for e in lines:
+            f.write(json.dumps(e) + "\n")
+
+    s2 = run_resumable(frags, build_unit("/root/testdata/sf0.001"), out, unit_size=2)
+    assert s2["skipped"] == 1  # only the current-version partition skips
+    assert s2["rows_out"] > 0  # the stale one was rebuilt
