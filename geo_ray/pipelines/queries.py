@@ -1437,16 +1437,17 @@ def q_pricing_summary(sf_dir: str):
     arithmetic: cents/percent fixed-point partial sums per batch, a tiny
     4-key groupby, float rendering only at the end — bit-stable under any
     combine order (the float-sum nondeterminism trap). Each fixed-point
-    value splits PER ROW into (quotient, remainder-mod-1e9) before any
+    value splits PER ROW into (quotient, remainder-mod-1e6) before any
     accumulation, so neither the in-batch accumulate nor the cross-batch
     int64 Sums can wrap: an unsplit charge_e6 column would overflow int64
-    at ~8e7 rows per group (TPC-H sf ~55); the split form is safe to ~9e9
-    rows per BATCH-group (a >270 GB block — unreachable) and ~8e16 rows per
-    global group (the finish reassembles in arbitrary-precision Python
-    ints)."""
+    at ~8e7 rows per group (TPC-H sf ~55). With the 1e6 split the binding
+    constraint is the remainder Sum (< 1e6 per row): safe to ~9.2e12 rows
+    per global group — above the 10^12-row target; the quotient side
+    (charge/1e6 ~ 1.1e5 per row) holds to ~8e13. The finish reassembles in
+    arbitrary-precision Python ints."""
     from ray.data.aggregate import Sum
 
-    SPLIT = 1_000_000_000
+    SPLIT = 1_000_000
 
     def partial(b: pa.Table) -> pa.Table:
         flag = b["l_returnflag"].to_numpy(zero_copy_only=False)
