@@ -138,6 +138,13 @@ def text_hashes_arrow(col):
         d = blake2b(view[offs[i] : offs[i + 1]], digest_size=16).digest()
         h1[i] = from_bytes(d[:8], "little")
         h2[i] = from_bytes(d[8:], "little")
+    if col.null_count:
+        # A null slot has zero-width offsets and would hash like '' — fold the
+        # validity bitmap into the key by flipping its len to -1 (ADVICE r2),
+        # keeping NULL and '' distinct while all NULLs still group together,
+        # matching SQL GROUP BY text semantics.
+        nulls = col.is_null().to_numpy(zero_copy_only=False)
+        lens = np.where(nulls, np.int64(-1), lens)
     return h1.view(np.int64), h2.view(np.int64), lens
 
 

@@ -57,7 +57,9 @@ def build_unit(sf_dir: str):
             h1, h2, lens = strhash.text_hashes_arrow(b["text"])
             sims = dedup.simhash64(b)["simhash"].to_numpy()
             sigs = dedup.batch_signatures(b["text"])
-            part = np.char.add("shard", (doc_id % n_shards).astype("U4"))
+            # U20 never truncates an int64 shard index (ADVICE r2: U4 silently
+            # clipped indices >= 10000, misrouting rows on large --shards runs)
+            part = np.char.add("shard", (doc_id % n_shards).astype("U20"))
             return pa.table(
                 {
                     "part_id": pa.array(part.tolist()),

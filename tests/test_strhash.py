@@ -71,3 +71,18 @@ def test_text_hashes_arrow_distinguishes_texts():
     h1, h2, _ = strhash.text_hashes_arrow(pa.array(texts))
     keys = set(zip(h1.tolist(), h2.tolist()))
     assert len(keys) == len(texts)
+
+
+def test_text_hashes_arrow_null_vs_empty():
+    """NULL text and '' must not conflate (ADVICE r2): len=-1 sentinel for
+    nulls keeps them a distinct key while all NULLs still group together."""
+    import pyarrow as pa
+
+    col = pa.array(["", None, "a", None, ""], type=pa.string())
+    h1, h2, lens = strhash.text_hashes_arrow(col)
+    assert lens[0] == 0 and lens[4] == 0
+    assert lens[1] == -1 and lens[3] == -1
+    # same (h1, h2) for the two NULLs -> they group together
+    assert (h1[1], h2[1]) == (h1[3], h2[3])
+    # key tuples differ between NULL and ''
+    assert (h1[0], h2[0], lens[0]) != (h1[1], h2[1], lens[1])
