@@ -974,7 +974,11 @@ def q_doc_dup_components(sf_dir: str):
     pytest against a sequential union-find over the same pairs."""
     from geo_ray.stages.cluster_copart import resolve_components
 
-    pairs = q_minhash_pairs(sf_dir)
+    # Compose over the LEAN band shuffle (24-byte band rows + signature
+    # join-back), not the 16x-signature-carrying variant — the two pair sets
+    # are pytest-pinned identical, so this is pure shuffle-volume savings
+    # end-to-end at corpus scale (VERDICT r2 item 5).
+    pairs = q_minhash_pairs_joined(sf_dir)
 
     def as_edges(b: pa.Table) -> pa.Table:
         return pa.table(

@@ -47,29 +47,64 @@ def _cell_xy(lat, lng, zoom):
     return px.astype(np.int64), py.astype(np.int64)
 
 
-def explode_halo(batch: pa.Table, zoom: int = 12) -> pa.Table:
-    """One row per (point, cell in 3x3 neighborhood): (cell, gid, lat, lng).
+def explode_halo(batch: pa.Table, zoom: int = 12, max_dist: float | None = None) -> pa.Table:
+    """One row per (point, cell it must be co-resident in): (cell, gid, lat, lng).
 
-    gid is the point's global id (caller-provided int64). Halo duplication is
-    the classic 9x blowup; a production variant duplicates only points within
-    max_dist of their cell border (the predicate is a cheap pixel-offset
-    test) — the 9x form keeps this reference implementation simple.
+    gid is the point's global id (caller-provided int64). With
+    ``max_dist=None`` this is the classic unconditional 9x halo blowup (kept
+    as the pytest cross-check). With ``max_dist`` set, a point is duplicated
+    into a neighbor cell ONLY when a strict lower bound on its ground
+    distance to the shared border is <= max_dist — the cheap pixel-offset
+    test (VERDICT r2 item 6). Correctness: any pair within max_dist is
+    either same-cell (always co-resident) or in adjacent cells, and each
+    member is then within max_dist of the shared border, so both still land
+    in a common cell; the lower bound uses the cell's MINIMUM mercator
+    ground scale (cos at the cell's far-from-equator edge), so it can only
+    over-duplicate, never miss. At safe_zoom (cell size >= max_dist) the
+    duplication factor drops from 9x to ~(1 + 4*max_dist/cell_size).
     """
     lat = batch["lat"].to_numpy()
     lng = batch["lng"].to_numpy()
     gid = batch["gid"].to_numpy().astype(np.int64)
-    cx, cy = _cell_xy(lat, lng, zoom)
     n = lat.size
     span = 1 << zoom
-    out_cell = np.empty(n * 9, dtype=np.int64)
-    k = 0
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            x = (cx + dx) % span  # wrap antimeridian
-            y = np.clip(cy + dy, 0, span - 1)
-            out_cell[k * n : (k + 1) * n] = x * span + y
-            k += 1
-    idx = np.tile(np.arange(n, dtype=np.int64), 9)
+    mx, my = merc_k.latlng_to_merc(lat, lng)
+    res = float(merc_k.resolution(np.asarray(zoom), 1))
+    msize = float(merc_k.map_size(np.asarray(zoom), 1))
+    vx = (mx + merc_k.MERC_ORIGIN_SHIFT) / res
+    vy = msize - (my + merc_k.MERC_ORIGIN_SHIFT) / res
+    cx = np.trunc(vx).astype(np.int64)
+    cy = merc_k._round_half_away(vy).astype(np.int64)
+    if max_dist is None:
+        near_w = near_e = near_n = near_s = np.ones(n, dtype=bool)
+    else:
+        # minimum ground meters per cell unit anywhere in this cell: res *
+        # cos(lat) is the local mercator scale and cos is smallest at the
+        # cell's y edge farther from the equator (vy in [cy-0.5, cy+0.5])
+        lat_lo = merc_k.merc_to_latlng(0.0, (msize - (cy - 0.5)) * res - merc_k.MERC_ORIGIN_SHIFT)[0]
+        lat_hi = merc_k.merc_to_latlng(0.0, (msize - (cy + 0.5)) * res - merc_k.MERC_ORIGIN_SHIFT)[0]
+        cos_min = np.minimum(np.cos(np.radians(lat_lo)), np.cos(np.radians(lat_hi)))
+        scale_min = np.maximum(res * cos_min, 1e-9)
+        thr = max_dist * 1.01  # float32-predicate + sphere-radius slack
+        near_w = (vx - cx) * scale_min <= thr
+        near_e = (cx + 1.0 - vx) * scale_min <= thr
+        near_n = (vy - (cy - 0.5)) * scale_min <= thr  # toward smaller y
+        near_s = ((cy + 0.5) - vy) * scale_min <= thr
+    masks = {
+        (-1, -1): near_w & near_n, (-1, 0): near_w, (-1, 1): near_w & near_s,
+        (0, -1): near_n, (0, 0): np.ones(n, dtype=bool), (0, 1): near_s,
+        (1, -1): near_e & near_n, (1, 0): near_e, (1, 1): near_e & near_s,
+    }
+    cells, idxs = [], []
+    base = np.arange(n, dtype=np.int64)
+    for (dx, dy), m in masks.items():
+        sel = base[m] if max_dist is not None else base
+        x = (cx[sel] + dx) % span  # wrap antimeridian
+        y = np.clip(cy[sel] + dy, 0, span - 1)
+        cells.append(x * span + y)
+        idxs.append(sel)
+    out_cell = np.concatenate(cells)
+    idx = np.concatenate(idxs)
     return pa.table(
         {
             "cell": pa.array(out_cell),
@@ -345,16 +380,113 @@ def safe_zoom(max_dist: float, max_abs_lat: float = 85.0511287798) -> int:
     return max(0, min(20, z))
 
 
-def cluster_copartition(points_ds, max_dist: float = 500.0, zoom: int | None = None):
+# Star maps at or below this row count broadcast to workers (ray.put of two
+# sorted arrays + searchsorted — one object-store copy, no extra shuffle);
+# larger maps attach through a gid-keyed co-partition join so the driver never
+# materializes them (VERDICT r2 item 4). 5M rows ~ 80 MB.
+BROADCAST_NODE_LIMIT = 5_000_000
+
+
+def _attach_components_shuffle(points_ds, stars):
+    """gid-keyed co-partition join: stars (side 0) and points (side 1) hash to
+    the same bucket on gid; each bucket labels its points via searchsorted
+    over its own star slice. The star map never leaves the object store."""
+    def star_side(b) -> pa.Table:
+        if "u" not in b.column_names or b.num_rows == 0:
+            return pa.table(
+                {
+                    "gid": pa.array([], pa.int64()),
+                    "comp": pa.array([], pa.int64()),
+                    "lat": pa.array([], pa.float64()),
+                    "lng": pa.array([], pa.float64()),
+                    "side": pa.array([], pa.int64()),
+                    "jbucket": pa.array([], pa.int64()),
+                }
+            )
+        u = b["u"].to_numpy().astype(np.int64)
+        v = b["v"].to_numpy().astype(np.int64)
+        z = np.zeros(u.size, dtype=np.float64)
+        return pa.table(
+            {
+                "gid": pa.array(u),
+                "comp": pa.array(v),
+                "lat": pa.array(z),
+                "lng": pa.array(z),
+                "side": pa.array(np.zeros(u.size, dtype=np.int64)),
+                "jbucket": pa.array(u % N_BUCKETS),
+            }
+        )
+
+    def point_side(b: pa.Table) -> pa.Table:
+        gid = b["gid"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "gid": pa.array(gid),
+                "comp": pa.array(gid),  # default: own component
+                "lat": b["lat"].cast(pa.float64()),
+                "lng": b["lng"].cast(pa.float64()),
+                "side": pa.array(np.ones(gid.size, dtype=np.int64)),
+                "jbucket": pa.array(gid % N_BUCKETS),
+            }
+        )
+
+    def attach_bucket(g):
+        import pandas as pd
+
+        side = g["side"].to_numpy()
+        stars_g = g[side == 0]
+        pts = g[side == 1]
+        gid = pts["gid"].to_numpy(np.int64)
+        comp = pts["comp"].to_numpy(np.int64).copy()
+        nodes = stars_g["gid"].to_numpy(np.int64)
+        if nodes.size:
+            order = np.argsort(nodes, kind="mergesort")
+            nodes = nodes[order]
+            roots = stars_g["comp"].to_numpy(np.int64)[order]
+            pos = np.searchsorted(nodes, gid)
+            pos_c = np.minimum(pos, nodes.size - 1)
+            hit = nodes[pos_c] == gid
+            comp[hit] = roots[pos_c[hit]]
+        return pd.DataFrame(
+            {
+                "gid": gid,
+                "lat": pts["lat"].to_numpy(),
+                "lng": pts["lng"].to_numpy(),
+                "comp": comp,
+            }
+        )
+
+    from geo_ray.stages.agg import hash_bucket_apply
+
+    both = stars.map_batches(star_side, batch_format="pyarrow").union(
+        points_ds.map_batches(point_side, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return hash_bucket_apply(both, "jbucket", attach_bucket)
+
+
+def cluster_copartition(
+    points_ds,
+    max_dist: float = 500.0,
+    zoom: int | None = None,
+    broadcast_limit: int | None = None,
+    full_halo: bool = False,
+):
     """points Dataset (gid, lat, lng) -> (gid, cluster_rep) canonical
-    partition equal to the sequential reference run (see module docstring)."""
+    partition equal to the sequential reference run (see module docstring).
+
+    ``full_halo=True`` forces the unconditional 9x halo (the pytest
+    cross-check for the default border-only duplication)."""
     import ray
-    import ray.data as rd
 
     if zoom is None:
         zoom = safe_zoom(max_dist)
+    if broadcast_limit is None:
+        broadcast_limit = BROADCAST_NODE_LIMIT
     halo = points_ds.map_batches(
-        explode_halo, fn_kwargs={"zoom": zoom}, batch_format="pyarrow", zero_copy_batch=True
+        explode_halo,
+        fn_kwargs={"zoom": zoom, "max_dist": None if full_halo else max_dist},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     from geo_ray.stages.agg import hash_bucket_apply
 
@@ -370,35 +502,45 @@ def cluster_copartition(points_ds, max_dist: float = 500.0, zoom: int | None = N
             }
         )
 
-    stars = resolve_components(pairs.map_batches(as_edges, batch_format="pyarrow"))
-    # The converged star set (member -> component-min-gid) is the compact
-    # lookup table — one row per CLUSTERED point, far smaller than the input.
-    # Broadcast it once (ray.put of two sorted arrays) and attach via
-    # np.searchsorted; at extreme scale swap for a gid-keyed shuffle join.
-    mp = stars.to_pandas()
-    if "u" in mp.columns and len(mp):
-        nodes = mp["u"].to_numpy(np.int64)
-        roots = mp["v"].to_numpy(np.int64)
-    else:  # no SL pair anywhere: every point is its own component
-        nodes = np.zeros(0, dtype=np.int64)
-        roots = np.zeros(0, dtype=np.int64)
-    order = np.argsort(nodes, kind="mergesort")
-    comp_ref = ray.put((nodes[order], roots[order]))
+    stars = resolve_components(pairs.map_batches(as_edges, batch_format="pyarrow")).materialize()
+    # The converged star set (member -> component-min-gid) is one row per
+    # CLUSTERED point — usually far smaller than the input. Small maps
+    # broadcast (ray.put + searchsorted); past the gate they attach through a
+    # gid-keyed shuffle join and never touch the driver.
+    if stars.count() > broadcast_limit:
+        with_comp = _attach_components_shuffle(points_ds, stars)
+    else:
+        mp = stars.to_pandas()
+        if "u" in mp.columns and len(mp):
+            nodes = mp["u"].to_numpy(np.int64)
+            roots = mp["v"].to_numpy(np.int64)
+        else:  # no SL pair anywhere: every point is its own component
+            nodes = np.zeros(0, dtype=np.int64)
+            roots = np.zeros(0, dtype=np.int64)
+        order = np.argsort(nodes, kind="mergesort")
+        comp_ref = ray.put((nodes[order], roots[order]))
 
-    def attach_comp(batch: pa.Table) -> pa.Table:
-        nodes, roots = ray.get(comp_ref)
-        gid = batch["gid"].to_numpy().astype(np.int64)
-        if nodes.size:
-            pos = np.searchsorted(nodes, gid)
-            pos_c = np.minimum(pos, nodes.size - 1)
-            hit = nodes[pos_c] == gid
-            comp = np.where(hit, roots[pos_c], gid)
-        else:
-            comp = gid
-        t = batch.append_column("comp", pa.array(comp))
-        return t.append_column("cbucket", pa.array((comp % N_BUCKETS).astype(np.int64)))
+        def attach_comp(batch: pa.Table) -> pa.Table:
+            nodes, roots = ray.get(comp_ref)
+            gid = batch["gid"].to_numpy().astype(np.int64)
+            if nodes.size:
+                pos = np.searchsorted(nodes, gid)
+                pos_c = np.minimum(pos, nodes.size - 1)
+                hit = nodes[pos_c] == gid
+                comp = np.where(hit, roots[pos_c], gid)
+            else:
+                comp = gid
+            return batch.append_column("comp", pa.array(comp))
 
-    with_comp = points_ds.map_batches(attach_comp, batch_format="pyarrow", zero_copy_batch=True)
+        with_comp = points_ds.map_batches(
+            attach_comp, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def add_cbucket(b: pa.Table) -> pa.Table:
+        comp = b["comp"].to_numpy().astype(np.int64)
+        return b.append_column("cbucket", pa.array((comp % N_BUCKETS).astype(np.int64)))
+
+    with_comp = with_comp.map_batches(add_cbucket, batch_format="pyarrow", zero_copy_batch=True)
     return hash_bucket_apply(
         with_comp, "cbucket", lambda g: cl_refine_bucket(g, max_dist)
     )

@@ -109,3 +109,55 @@ def test_cluster_copart_no_pairs(ray_session):
     out = cluster_copartition(rd.from_pandas(pts), max_dist=100.0).to_pandas()
     got = dict(zip(out["gid"].astype(int), out["cluster_rep"].astype(int)))
     assert got == {i: i for i in range(5)}
+
+
+def _derived_points_df():
+    import pandas as pd
+
+    doc = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
+    d_rep, pt_idx, lat, lng = derive.derive_points(np.sort(doc.astype(np.int64)))
+    return pd.DataFrame({"gid": d_rep * 8 + pt_idx, "lat": lat, "lng": lng})
+
+
+def test_border_halo_matches_full_halo(ray_session):
+    """Border-only halo duplication == unconditional 9x halo (partition-exact),
+    and the halo row count actually shrinks (VERDICT r2 item 6)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geo_ray.stages import cluster_copart as cc
+
+    pts = _derived_points_df()
+    border = cc.cluster_copartition(rd.from_pandas(pts), max_dist=2000.0).to_pandas()
+    full = cc.cluster_copartition(
+        rd.from_pandas(pts), max_dist=2000.0, full_halo=True
+    ).to_pandas()
+    m_border = dict(zip(border["gid"].astype(int), border["cluster_rep"].astype(int)))
+    m_full = dict(zip(full["gid"].astype(int), full["cluster_rep"].astype(int)))
+    assert m_border == m_full and len(m_border) == len(pts)
+
+    batch = pa.table(
+        {"gid": pts["gid"].to_numpy(), "lat": pts["lat"].to_numpy(), "lng": pts["lng"].to_numpy()}
+    )
+    zoom = cc.safe_zoom(2000.0)
+    n_full = cc.explode_halo(batch, zoom=zoom, max_dist=None).num_rows
+    n_border = cc.explode_halo(batch, zoom=zoom, max_dist=2000.0).num_rows
+    assert n_full == 9 * len(pts)
+    assert len(pts) <= n_border < 0.5 * n_full
+
+
+def test_component_attach_shuffle_join_matches_broadcast(ray_session):
+    """broadcast_limit=0 forces the gid-keyed shuffle join for the component
+    map; output must equal the broadcast path (VERDICT r2 item 4)."""
+    import ray.data as rd
+
+    from geo_ray.stages import cluster_copart as cc
+
+    pts = _derived_points_df()
+    bc = cc.cluster_copartition(rd.from_pandas(pts), max_dist=2000.0).to_pandas()
+    sj = cc.cluster_copartition(
+        rd.from_pandas(pts), max_dist=2000.0, broadcast_limit=0
+    ).to_pandas()
+    m_bc = dict(zip(bc["gid"].astype(int), bc["cluster_rep"].astype(int)))
+    m_sj = dict(zip(sj["gid"].astype(int), sj["cluster_rep"].astype(int)))
+    assert m_bc == m_sj and len(m_sj) == len(pts)
