@@ -1095,23 +1095,59 @@ def q_simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
 
 
 def q_ngram_dup_groups(sf_dir: str):
-    """Exact n-gram Jaccard pairs within (lang, source) buckets."""
-    def keyed(b: pa.Table) -> pa.Table:
-        lang = b["lang"].to_numpy(zero_copy_only=False)
-        src = b["source"].to_numpy(zero_copy_only=False)
-        key = np.array([f"{a}|{b_}" for a, b_ in zip(lang, src)])
-        return b.append_column("bucket", pa.array(key.tolist()))
-
+    """Exact n-gram Jaccard pairs within (lang, source) groups, as a BANDED
+    shuffle: (lang, source) folds into the LSH band key (32 two-row minhash
+    bands — candidate recall identical to the previous per-group prefilter:
+    miss probability (1-J^2)^32, ~1e-4 at J=0.5 and <1e-9 at J>=0.7), so no
+    shuffle partition ever holds a whole language slice (VERDICT r2 item 3).
+    Candidates dedup via pair-key tree-max, then verify EXACT Jaccard by
+    joining back to the per-doc sorted-shingle-set table through doc_id and
+    pair_key co-partitions — vectorized set intersection, no Python sets.
+    Pytest pins the result equal to the per-group all-pairs scan."""
     from geo_ray.stages import dedup as dedup_st
+    from geo_ray.stages.agg import hash_bucket_apply, tree_max
 
     rd = _rd()
-    ds = rd.read_parquet(
+    docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
     )
-    ds = ds.map_batches(keyed, batch_format="pyarrow")
-    return ds.groupby("bucket").map_groups(
-        lambda g: dedup_st.ngram_jaccard_pairs(g, 3, 0.5), batch_format="pandas"
-    )
+    # shingle the corpus EXACTLY ONCE: (doc_id, gkey+sorted shingle set)
+    shing_tbl = docs.map_batches(dedup_st.ngram_doc_shingles, batch_format="pyarrow").materialize()
+    bands = shing_tbl.map_batches(dedup_st.ngram_bands, batch_format="pyarrow")
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        bucket = b["band_key"].to_numpy().view(np.uint64) % np.uint64(64)
+        return b.append_column("bucket", pa.array(bucket.astype(np.int64)))
+
+    bands = bands.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    cand = hash_bucket_apply(bands, "bucket", dedup_st.band_candidates)
+
+    def pack(b: pa.Table) -> pa.Table:
+        keys = dedup_st.pack_pair_keys(b["doc_a"].to_numpy(), b["doc_b"].to_numpy())
+        return pa.table(
+            {
+                "pair_key": pa.array(keys),
+                "one": pa.array(np.ones(len(keys), dtype=np.int64)),
+            }
+        )
+
+    distinct_pairs = tree_max(cand.map_batches(pack, batch_format="pyarrow"), "pair_key", "one")
+    slots = distinct_pairs.map_batches(dedup_st.explode_pair_slots, batch_format="pyarrow")
+    shing_rows = shing_tbl.map_batches(dedup_st.shing_side, batch_format="pyarrow")
+
+    def add_dbucket(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy().astype(np.int64)
+        return b.append_column("dbucket", pa.array(d % np.int64(64)))
+
+    both = slots.union(shing_rows).map_batches(add_dbucket, batch_format="pyarrow")
+    attached = hash_bucket_apply(both, "dbucket", dedup_st.attach_pair_sigs)
+
+    def add_pbucket(b: pa.Table) -> pa.Table:
+        k = b["pair_key"].to_numpy().astype(np.int64)
+        return b.append_column("pbucket", pa.array(k % np.int64(64)))
+
+    attached = attached.map_batches(add_pbucket, batch_format="pyarrow")
+    return hash_bucket_apply(attached, "pbucket", dedup_st.verify_ngram_pairs)
 
 
 def q_ann_topk(sf_dir: str):
@@ -1278,12 +1314,15 @@ def q_dedup_filtered_docs(sf_dir: str):
     """APPLY the exact dedup: emit the surviving corpus (one doc per distinct
     text, smallest doc_id wins). Plan: hash pass -> coarse-bucket groupby
     finds the LOSING doc_ids distributed (every non-minimum member of a
-    duplicate hash group — a tiny set relative to the corpus); the loser set
-    broadcasts once and a doc_id-only pruned re-read filters vectorized.
-    The text column never shuffles; no driver-side per-row work."""
-    import ray
-
+    duplicate hash group); the losers then remove themselves via a
+    doc_id-keyed co-partition ANTI-JOIN — losers side 0, corpus side 1, both
+    hashed on doc_id, each bucket emits its unmatched side-1 rows. The text
+    column never shuffles and the loser set never materializes anywhere (at
+    web-scale dup rates it is billions of ids — the old ray.put broadcast
+    was a driver OOM; VERDICT r2 item 2)."""
     from geo_ray.kernels import strhash
+
+    N_DEDUP_BUCKETS = 64
 
     def hash_stage(b: pa.Table) -> pa.Table:
         h1, h2, lens = strhash.text_hashes_arrow(b["text"])
@@ -1293,7 +1332,7 @@ def q_dedup_filtered_docs(sf_dir: str):
                 "h2": pa.array(h2),
                 "len": pa.array(lens),
                 "doc_id": b["doc_id"],
-                "bucket": pa.array(h1 % np.int64(64)),
+                "bucket": pa.array(h1 % np.int64(N_DEDUP_BUCKETS)),
             }
         )
 
@@ -1314,22 +1353,53 @@ def q_dedup_filtered_docs(sf_dir: str):
     from geo_ray.stages.agg import hash_bucket_apply
 
     losers_ds = hash_bucket_apply(ds, "bucket", losers_bucket)
-    lp = losers_ds.to_pandas()
-    lose = (
-        np.sort(lp["doc_id"].to_numpy(np.int64))
-        if "doc_id" in lp.columns and len(lp)
-        else np.zeros(0, dtype=np.int64)
+
+    def loser_side(b) -> pa.Table:
+        if "doc_id" not in b.column_names or b.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int64()),
+                    "jbucket": pa.array([], pa.int64()),
+                }
+            )
+        d = b["doc_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "side": pa.array(np.zeros(d.size, dtype=np.int64)),
+                "jbucket": pa.array(d % np.int64(N_DEDUP_BUCKETS)),
+            }
+        )
+
+    def doc_side(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy().astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "side": pa.array(np.ones(d.size, dtype=np.int64)),
+                "jbucket": pa.array(d % np.int64(N_DEDUP_BUCKETS)),
+            }
+        )
+
+    def anti_join_bucket(g):
+        import pandas as pd
+
+        side = g["side"].to_numpy()
+        doc = g["doc_id"].to_numpy(np.int64)
+        lost = np.unique(doc[side == 0])
+        mine = doc[side == 1]
+        if lost.size:
+            pos = np.searchsorted(lost, mine)
+            pos_c = np.minimum(pos, lost.size - 1)
+            mine = mine[lost[pos_c] != mine]
+        return pd.DataFrame({"doc_id": mine})
+
+    corpus = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    both = losers_ds.map_batches(loser_side, batch_format="pyarrow").union(
+        corpus.map_batches(doc_side, batch_format="pyarrow", zero_copy_batch=True)
     )
-    lose_ref = ray.put(lose)
-
-    def keep_stage(b: pa.Table) -> pa.Table:
-        lost = ray.get(lose_ref)
-        doc_id = b["doc_id"].to_numpy().astype(np.int64)
-        keep = ~np.isin(doc_id, lost)
-        return b.filter(pa.array(keep))
-
-    out = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    return out.map_batches(keep_stage, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_bucket_apply(both, "jbucket", anti_join_bucket)
 
 
 SQL_DEDUP_FILTERED_DOCS = """SELECT doc_id FROM documents

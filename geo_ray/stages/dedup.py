@@ -81,8 +81,15 @@ def batch_signatures(texts, k: int = 3) -> np.ndarray:
     else:
         th, offs = strhash.batch_token_hashes(texts, min_tokens=k)
     sh, sh_offs = strhash.shingle_hashes_flat(th, offs, k)
+    return _signatures_from_flat(sh, sh_offs)
+
+
+def _signatures_from_flat(sh: np.ndarray, sh_offs: np.ndarray) -> np.ndarray:
+    """(flat shingle hashes, per-doc offsets) -> (n_docs, N_HASH) minhash
+    matrix — the chunked universal-hash core shared by text-fed and
+    stored-shingle-fed signing paths."""
     a, b = _coeffs()
-    n = offs.size - 1
+    n = sh_offs.size - 1
     if n == 0:
         return np.zeros((0, N_HASH), dtype=np.uint64)
     s = sh.astype(np.uint64) & _MERSENNE
@@ -456,3 +463,186 @@ def ngram_jaccard_pairs(group, n: int = 3, threshold: float = 0.5):
                 if jac >= threshold:
                     rows.append((int(ids[i]), int(ids[j]), round(jac, 3)))
     return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+
+# --- banded n-gram Jaccard (the distributed shape of ngram_jaccard_pairs) ---
+#
+# VERDICT r2 item 3: the groupby("lang|source") plan handed ONE map_groups
+# task the entire (en, web) slice of the corpus. Here (lang, source) folds
+# into the LSH band key, so the wide step is the same 16-byte-row band
+# shuffle the MinHash pipeline uses, and exact-Jaccard verification joins
+# candidate pairs back to a per-doc sorted-shingle-set table (blobs ship
+# once through a doc_id co-partition — the sign-once join-back shape of
+# q_minhash_pairs_joined). No groupby key ever has corpus-fraction
+# cardinality.
+
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+NGRAM_BANDS = N_HASH // 2  # 32 bands x 2 rows — same prefilter as before
+
+
+def group_keys_arrow(lang_col, source_col) -> np.ndarray:
+    """uint64 FNV key of 'lang|source' per row, hashing each DISTINCT combo
+    exactly once (dictionary-encode, then map)."""
+    import pyarrow.compute as pc
+
+    combo = pc.binary_join_element_wise(lang_col, source_col, "|")
+    if isinstance(combo, pa.ChunkedArray):
+        combo = combo.combine_chunks()
+    enc = combo.dictionary_encode()
+    idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uh = np.array([hash_str64(u) for u in enc.dictionary.to_pylist()], dtype=np.uint64)
+    return uh[idx] if uh.size else np.zeros(0, dtype=np.uint64)
+
+
+def ngram_doc_shingles(batch: pa.Table, n: int = 3) -> pa.Table:
+    """documents -> (doc_id, shing) where shing = gkey (8 bytes) followed by
+    the doc's SORTED UNIQUE n-gram shingle hashes as little-endian uint64 —
+    the per-doc payload for both band generation and exact-Jaccard verify.
+    Matches ``_shingle_hashes(text, n)`` per doc bit-for-bit."""
+    from geo_ray.kernels import strhash
+
+    m = batch.num_rows
+    if m == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()), "shing": pa.array([], pa.binary())})
+    gkey = group_keys_arrow(batch["lang"], batch["source"])
+    th, offs = strhash.token_hashes_arrow(batch["text"], min_tokens=n)
+    sh, sh_offs = strhash.shingle_hashes_flat(th, offs, n)
+    doc_of = np.repeat(np.arange(m, dtype=np.int64), np.diff(sh_offs))
+    order = np.lexsort((sh, doc_of))
+    d_s, v_s = doc_of[order], sh[order]
+    first = np.ones(v_s.size, dtype=bool)
+    first[1:] = (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])
+    d_u, v_u = d_s[first], v_s[first]
+    new_offs = np.searchsorted(d_u, np.arange(m + 1, dtype=np.int64))
+    gb = gkey.tobytes()
+    blobs = [
+        gb[8 * i : 8 * i + 8] + v_u[new_offs[i] : new_offs[i + 1]].tobytes() for i in range(m)
+    ]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "shing": pa.array(blobs, type=pa.binary()),
+        }
+    )
+
+
+def _parse_shing_blobs(arr):
+    """binary column -> (gkey uint64[m], flat shingles uint64, offsets)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    m = len(arr)
+    if m == 0:
+        z = np.zeros(0, dtype=np.uint64)
+        return z, z, np.zeros(1, dtype=np.int64)
+    voffs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + m + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    seg = np.array(data[voffs[0] : voffs[-1]])  # copy -> aligned
+    words = seg.view(np.uint64)
+    w_offs = (voffs - voffs[0]) // 8
+    gkey = words[w_offs[:-1]]
+    keep = np.ones(words.size, dtype=bool)
+    keep[w_offs[:-1]] = False
+    sh_flat = words[keep]
+    sh_offs = w_offs - np.arange(m + 1, dtype=np.int64)  # minus one gkey word per row
+    return gkey, sh_flat, sh_offs
+
+
+def ngram_bands(batch: pa.Table) -> pa.Table:
+    """(doc_id, shing) -> (band_key, doc_id) rows: minhash the stored
+    shingle set (same universal-hash family as the MinHash pipeline) and
+    pack FNV(gkey, band_index, v0, v1) of each 2-row band into one int64
+    key — (lang, source) rides inside the key, so no group is ever a
+    shuffle partition by itself."""
+    gkey, sh_flat, sh_offs = _parse_shing_blobs(batch["shing"])
+    m = gkey.size
+    if m == 0:
+        return pa.table(
+            {"band_key": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+        )
+    sigs = _signatures_from_flat(sh_flat, sh_offs)
+    doc = batch["doc_id"].to_numpy().astype(np.int64)
+    bands = sigs.reshape(m, NGRAM_BANDS, 2)
+    out = np.empty((NGRAM_BANDS, m), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for b in range(NGRAM_BANDS):
+            h = (_FNV_OFFSET ^ gkey) * _FNV_PRIME
+            h = (h ^ np.uint64(b)) * _FNV_PRIME
+            h = (h ^ bands[:, b, 0]) * _FNV_PRIME
+            h = (h ^ bands[:, b, 1]) * _FNV_PRIME
+            out[b] = h
+    return pa.table(
+        {
+            "band_key": pa.array(out.ravel().view(np.int64)),
+            "doc_id": pa.array(np.tile(doc, NGRAM_BANDS)),
+        }
+    )
+
+
+def shing_side(batch: pa.Table) -> pa.Table:
+    """(doc_id, shing) -> join-side rows matching explode_pair_slots'
+    schema (side 0 carries the payload in ``sig``)."""
+    n = batch.num_rows
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "pair_key": pa.array(np.zeros(n, dtype=np.int64)),
+            "slot": pa.array(np.full(n, -1, dtype=np.int64)),
+            "sig": batch["shing"],
+            "side": pa.array(np.zeros(n, dtype=np.int64)),
+        }
+    )
+
+
+def verify_ngram_pairs(group, threshold: float = 0.5):
+    """Per pair_key bucket: both slots present -> EXACT n-gram Jaccard from
+    the two sorted-unique shingle sets (np.intersect1d on assume_unique
+    arrays — no Python sets), gated on equal group keys so an FNV band-key
+    collision across (lang, source) groups can never leak a pair."""
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "doc_a": np.array([], dtype=np.int64),
+            "doc_b": np.array([], dtype=np.int64),
+            "jaccard": np.array([], dtype=np.float64),
+        }
+    )
+    pk = group["pair_key"].to_numpy(np.int64)
+    if pk.size == 0:
+        return empty
+    slot = group["slot"].to_numpy(np.int64)
+    order = np.lexsort((slot, pk))
+    pk, slot = pk[order], slot[order]
+    blobs = group["sig"].to_numpy()[order]
+    starts = np.flatnonzero(np.concatenate([[True], pk[1:] != pk[:-1]]))
+    lens = np.diff(np.concatenate([starts, [pk.size]]))
+    full = starts[lens == 2]
+    if full.size == 0:
+        return empty
+    out_a, out_b, out_j = [], [], []
+    for s in full:
+        b0 = np.frombuffer(blobs[s], dtype=np.uint64)
+        b1 = np.frombuffer(blobs[s + 1], dtype=np.uint64)
+        if b0[0] != b1[0]:  # different (lang, source) group
+            continue
+        s0, s1 = b0[1:], b1[1:]
+        inter = np.intersect1d(s0, s1, assume_unique=True).size
+        union = s0.size + s1.size - inter
+        jac = inter / union if union else 0.0
+        if jac >= threshold:
+            da, db = unpack_pair_keys(pk[s : s + 1])
+            out_a.append(int(da[0]))
+            out_b.append(int(db[0]))
+            out_j.append(round(jac, 3))
+    if not out_a:
+        return empty
+    return pd.DataFrame(
+        {
+            "doc_a": np.array(out_a, dtype=np.int64),
+            "doc_b": np.array(out_b, dtype=np.int64),
+            "jaccard": np.array(out_j, dtype=np.float64),
+        }
+    )

@@ -192,3 +192,81 @@ def test_doc_dup_components_match_union_find(ray_session):
     assert nodes, "fixture corpus must have near-dup pairs"
     for n in nodes:
         assert got.get(n, n) == want.get(n, n)
+
+
+def test_ngram_banded_pipeline_equals_allpairs(ray_session, tmp_path):
+    """The banded-shuffle q_ngram_dup_groups == per-group all-pairs scan on a
+    synthetic duplicate-heavy corpus spanning several (lang, source) groups —
+    including a cross-group near-identical text pair that must NOT pair."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from geo_ray.pipelines import queries as Q
+    from geo_ray.stages import dedup as dd
+
+    base = "zero one two three four five six seven eight nine ten eleven"
+    other = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    rows = []
+    for i, (lang, src) in enumerate([("en", "web"), ("en", "book"), ("de", "web")]):
+        rows += [
+            (100 * i + 1, base, lang, src),
+            (100 * i + 2, base, lang, src),
+            (100 * i + 3, base.replace("five", "FIVE"), lang, src),
+            (100 * i + 4, other, lang, src),
+            (100 * i + 5, base.replace("two three", "2 3"), lang, src),
+        ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    sf = str(tmp_path)
+    pa.parquet.write_table(pa.Table.from_pandas(df), f"{sf}/documents.parquet")
+
+    got = Q.q_ngram_dup_groups(sf).to_pandas()
+    got_set = (
+        {(int(r.doc_a), int(r.doc_b), float(r.jaccard)) for r in got.itertuples()}
+        if len(got)
+        else set()
+    )
+    want = set()
+    for (_, _), sub in df.groupby(["lang", "source"]):
+        want |= set(
+            map(
+                tuple,
+                dd.ngram_allpairs_jaccard(
+                    sub["doc_id"].to_numpy(np.int64), sub["text"].to_numpy(), 3, 0.5
+                ),
+            )
+        )
+    assert len(want) >= 9  # three groups x >=3 near-dup pairs each
+    assert got_set == want
+
+
+def test_ngram_doc_shingles_match_scalar(ray_session):
+    """Stored shingle blobs == _shingle_hashes per doc, and band generation
+    from blobs == bands from batch_signatures."""
+    import pyarrow as pa
+
+    from geo_ray.stages import dedup as dd
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a b",
+        "one two three one two three one two",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array([7, 8, 9], pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en", "en", "de"]),
+            "source": pa.array(["web", "book", "web"]),
+        }
+    )
+    out = dd.ngram_doc_shingles(t, 3)
+    gkey, sh_flat, sh_offs = dd._parse_shing_blobs(out["shing"])
+    for i, txt in enumerate(texts):
+        want = dd._shingle_hashes(txt, 3)
+        got = sh_flat[sh_offs[i] : sh_offs[i + 1]]
+        assert np.array_equal(got, want), i
+    assert gkey[0] == dd.hash_str64("en|web")
+    assert gkey[2] == dd.hash_str64("de|web")
+    sigs_blob = dd._signatures_from_flat(sh_flat, sh_offs)
+    sigs_text = dd.batch_signatures(texts, 3)
+    assert np.array_equal(sigs_blob, sigs_text)
