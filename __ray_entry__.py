@@ -25,63 +25,15 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Dict ORDER is deliberate: the driver's CORRECTNESS snapshot covers the
+    first 50 entries only.  Round 3 rotates the 24 entries the r1/r2 windows
+    never reached to the FRONT so every operator gets a formal driver row,
+    followed by the headline / recently-changed pipelines; the tail 24 are
+    simple kernels already double-green in CORRECTNESS_r01+r02."""
     from geo_ray.pipelines import queries as Q
 
     return {
-        # geometry / spatial (SURVEY.md §2.1-2.5)
-        "derived_points": Q.q_derived_points,
-        "point_distance": Q.q_point_distance,
-        "point_bearing": Q.q_point_bearing,
-        "destination_points": Q.q_destination_points,
-        "midpoints": Q.q_midpoints,
-        "xyz_chord": Q.q_xyz_chord,
-        "box_contains": Q.q_box_contains,
-        "box_envelope": Q.q_box_envelope,
-        "box_buffered": Q.q_box_buffered,
-        "merc_points": Q.q_merc_points,
-        "tile_assign": Q.q_tile_assign,
-        "tile_counts": Q.q_tile_counts,
-        "cell_ids": Q.q_cell_ids,
-        "pip_join": Q.q_pip_join,
-        "pip_join_copart": Q.q_pip_join_copart,
-        "pip_join_indexed": Q.q_pip_join_indexed,
-        "knn_cities": Q.q_knn_cities,
-        "knn_copart": Q.q_knn_copart,
-        "poly_filter": Q.q_poly_filter,
-        "embed_dup_pairs": Q.q_embed_dup_pairs,
-        "radius_cities": Q.q_radius_cities,
-        "polyline_lengths": Q.q_polyline_lengths,
-        "dist_to_polyline": Q.q_dist_to_polyline,
-        "lineitem_cells": Q.q_lineitem_cells,
-        "flagship": Q.q_flagship,
-        "spans_shape": Q.q_spans_shape,
-        # rows-only geo ops (non-SQL-expressible; pytest-conformance covered)
-        "polyline_encode": Q.q_polyline_encode,
-        "simplify_masks": Q.q_simplify_masks,
-        "simplify_lines": Q.q_simplify_lines,
-        "cluster_city": Q.q_cluster_city,
-        "cluster_copart": Q.q_cluster_copart,
-        "tile_pipeline": Q.q_tile_pipeline,
-        "tile_pipeline_salted": Q.q_tile_pipeline_salted,
-        # multimodal media (stub decode; real Arrow/actor plumbing)
-        "media_features": Q.q_media_features,
-        "media_refs": Q.q_media_refs,
-        # training-data pipeline ops
-        "token_counts": Q.q_token_counts,
-        "token_counts_bpe": Q.q_token_counts_bpe,
-        "quality_scores": Q.q_quality_scores,
-        "stopword_hits": Q.q_stopword_hits,
-        "lang_id": Q.q_lang_id,
-        "exact_dedup": Q.q_exact_dedup,
-        "fingerprints": Q.q_fingerprints,
-        "minhash_pairs": Q.q_minhash_pairs,
-        "minhash_pairs_joined": Q.q_minhash_pairs_joined,
-        "doc_dup_components": Q.q_doc_dup_components,
-        "simhash": Q.q_simhash,
-        "simhash_dup_pairs": Q.q_simhash_dup_pairs,
-        "ngram_dup_groups": Q.q_ngram_dup_groups,
-        "ann_topk": Q.q_ann_topk,
-        "ivf_counts": Q.q_ivf_counts,
+        # --- rotated in: never driver-checked before round 3 ---
         "ivf_topk": Q.q_ivf_topk,
         "ivf_dup_pairs": Q.q_ivf_dup_pairs,
         "ivf_centroid_means": Q.q_ivf_centroid_means,
@@ -106,6 +58,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_region_counts": Q.q_supplier_region_counts,
         "priority_order_stats": Q.q_priority_order_stats,
         "event_sessions": Q.q_event_sessions,
+        # --- stable core: headline + round-3-changed pipelines ---
+        "flagship": Q.q_flagship,
+        "exact_dedup": Q.q_exact_dedup,
+        "minhash_pairs": Q.q_minhash_pairs,
+        "minhash_pairs_joined": Q.q_minhash_pairs_joined,
+        "doc_dup_components": Q.q_doc_dup_components,
+        "simhash": Q.q_simhash,
+        "simhash_dup_pairs": Q.q_simhash_dup_pairs,
+        "ngram_dup_groups": Q.q_ngram_dup_groups,
+        "cluster_city": Q.q_cluster_city,
+        "cluster_copart": Q.q_cluster_copart,
+        "embed_dup_pairs": Q.q_embed_dup_pairs,
+        "ann_topk": Q.q_ann_topk,
+        "ivf_counts": Q.q_ivf_counts,
+        "pip_join": Q.q_pip_join,
+        "pip_join_copart": Q.q_pip_join_copart,
+        "pip_join_indexed": Q.q_pip_join_indexed,
+        "knn_cities": Q.q_knn_cities,
+        "knn_copart": Q.q_knn_copart,
+        "tile_pipeline": Q.q_tile_pipeline,
+        "tile_pipeline_salted": Q.q_tile_pipeline_salted,
+        "tile_counts": Q.q_tile_counts,
+        "cell_ids": Q.q_cell_ids,
+        "lang_id": Q.q_lang_id,
+        "token_counts": Q.q_token_counts,
+        "fingerprints": Q.q_fingerprints,
+        "quality_scores": Q.q_quality_scores,
+        # --- tail (past the driver's 50-row cap): double-green in r1+r2 ---
+        "derived_points": Q.q_derived_points,
+        "point_distance": Q.q_point_distance,
+        "point_bearing": Q.q_point_bearing,
+        "destination_points": Q.q_destination_points,
+        "midpoints": Q.q_midpoints,
+        "xyz_chord": Q.q_xyz_chord,
+        "box_contains": Q.q_box_contains,
+        "box_envelope": Q.q_box_envelope,
+        "box_buffered": Q.q_box_buffered,
+        "merc_points": Q.q_merc_points,
+        "tile_assign": Q.q_tile_assign,
+        "poly_filter": Q.q_poly_filter,
+        "radius_cities": Q.q_radius_cities,
+        "polyline_lengths": Q.q_polyline_lengths,
+        "dist_to_polyline": Q.q_dist_to_polyline,
+        "lineitem_cells": Q.q_lineitem_cells,
+        "spans_shape": Q.q_spans_shape,
+        "polyline_encode": Q.q_polyline_encode,
+        "simplify_masks": Q.q_simplify_masks,
+        "simplify_lines": Q.q_simplify_lines,
+        "media_features": Q.q_media_features,
+        "media_refs": Q.q_media_refs,
+        "token_counts_bpe": Q.q_token_counts_bpe,
+        "stopword_hits": Q.q_stopword_hits,
     }
 
 
