@@ -151,6 +151,8 @@ def oracle_sql() -> dict[str, str]:
         "stopword_hits": Q.SQL_STOPWORD_HITS,
         "lang_id": Q.SQL_LANG_ID,
         "exact_dedup": Q.SQL_EXACT_DEDUP,
+        "fingerprints": Q.SQL_FINGERPRINTS,
+        "simhash": Q.SQL_SIMHASH,
         "ann_topk": Q.SQL_ANN_TOPK,
         "ivf_topk": Q.SQL_IVF_TOPK,
         "ivf_counts": Q.SQL_IVF_COUNTS,

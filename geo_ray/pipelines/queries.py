@@ -855,6 +855,26 @@ def q_fingerprints(sf_dir: str):
     return _docs_ds(sf_dir).map_batches(text_st.fingerprint, batch_format="pyarrow")
 
 
+# Mod-2^64 Horner in HUGEINT via list_reduce: acc stays < 2^64, acc*P < 2^104
+# fits HUGEINT, reduce back each step. Exact vs the NumPy wrap-around kernels
+# (stages/text.py fingerprint, kernels/strhash.py FNV-1a) on the ASCII corpus;
+# the final CASE converts the uint64 value to its int64 two's-complement view.
+_SQL_U64_TO_I64 = (
+    "(CASE WHEN {h} >= 9223372036854775808::HUGEINT"
+    " THEN {h} - 18446744073709551616::HUGEINT ELSE {h} END)::BIGINT"
+)
+
+SQL_FINGERPRINTS = f"""WITH fp AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(0::HUGEINT, [unicode(c)::HUGEINT for c in split(text, '')]),
+           (acc, b) -> (acc * 1099511628211 + b) % 18446744073709551616::HUGEINT
+         ) AS h
+  FROM documents
+)
+SELECT doc_id, {_SQL_U64_TO_I64.format(h='h')} AS fingerprint FROM fp"""
+
+
 def q_minhash_pairs(sf_dir: str):
     """MinHash+LSH near-dup candidates: shingle->minhash->band->bucket groupby
     -> per-bucket verified pairs -> global pair dedup."""
@@ -1004,6 +1024,36 @@ def q_simhash(sf_dir: str):
     from geo_ray.stages import dedup as dedup_st
 
     return _docs_ds(sf_dir).map_batches(dedup_st.simhash64, batch_format="pyarrow")
+
+
+# SimHash twin: distinct whitespace tokens per doc, FNV-1a-64 per token (same
+# HUGEINT Horner trick as SQL_FINGERPRINTS), then 64 per-bit +/-1 votes; bit b
+# of the result is set iff its vote sum is > 0 — mirroring stages/dedup.py
+# simhash64 exactly. Tokens come from single-space splits with empties dropped
+# (the corpus has no other whitespace; checked tab/newline-free).
+SQL_SIMHASH = f"""WITH th AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(14695981039346656037::HUGEINT, [unicode(c)::HUGEINT for c in split(tok, '')]),
+           (acc, b) -> (xor(acc, b) * 1099511628211) % 18446744073709551616::HUGEINT
+         ) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_distinct([t for t in string_split(text, ' ') if t <> ''])) AS tok
+    FROM documents
+  )
+), votes AS (
+  SELECT doc_id, bits.bit AS bit,
+         SUM(CASE WHEN (h >> bits.bit) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, (SELECT unnest(range(64)) AS bit) bits
+  GROUP BY doc_id, bits.bit
+), sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN v > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS h
+  FROM votes GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE({_SQL_U64_TO_I64.format(h='sh.h')}, 0) AS simhash
+FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id"""
 
 
 def q_simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
