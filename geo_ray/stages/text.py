@@ -72,22 +72,39 @@ def lang_id(batch: pa.Table) -> pa.Table:
 def fingerprint(batch: pa.Table) -> pa.Table:
     """64-bit polynomial rolling hash of the whole text — doc fingerprint.
 
-    h = sum(byte_i * P^(n-1-i)) mod 2^64, vectorized per row (cumprod wraps).
+    h = sum(byte_i * P^(n-1-i)) mod 2^64, computed in ONE vectorized pass
+    over the batch's flat Arrow byte buffer: a P-power table up to the max
+    doc length (uint64 cumprod wraps mod 2^64), each byte multiplied by the
+    power of its distance from its doc's end, summed per doc with
+    ``np.add.reduceat`` (which also wraps). No per-row Python.
     """
     base = np.uint64(1099511628211)
     col = batch["text"].combine_chunks()
+    n = batch.num_rows
     buf = np.frombuffer(col.buffers()[2], dtype=np.uint8) if col.buffers()[2] else np.zeros(0, np.uint8)
-    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)
-    out = np.zeros(batch.num_rows, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for i in range(batch.num_rows):
-            arr = buf[offs[i] : offs[i + 1]].astype(np.uint64)
-            if arr.size == 0:
-                continue
-            pw = np.concatenate(
-                [[np.uint64(1)], np.cumprod(np.full(arr.size - 1, base, dtype=np.uint64))]
-            )
-            out[i] = (arr * pw[::-1]).sum(dtype=np.uint64)
+    off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    out = np.zeros(n, dtype=np.uint64)
+    lens = np.diff(offs)
+    total = int(offs[-1] - offs[0])
+    if total:
+        with np.errstate(over="ignore"):
+            maxlen = int(lens.max())
+            pw = np.empty(maxlen, dtype=np.uint64)
+            pw[0] = 1
+            if maxlen > 1:
+                np.cumprod(np.full(maxlen - 1, base, dtype=np.uint64), out=pw[1:])
+            # exponent of each byte = (doc_end - 1 - global_pos)
+            pos = np.arange(int(offs[0]), int(offs[-1]), dtype=np.int64)
+            exp = np.repeat(offs[1:] - 1, lens) - pos
+            terms = buf[int(offs[0]) : int(offs[-1])].astype(np.uint64) * pw[exp]
+            starts = (offs[:-1] - offs[0]).astype(np.int64)
+            nonempty = lens > 0
+            # reduceat needs strictly valid start indices; empty docs keep 0
+            sums = np.add.reduceat(terms, starts[nonempty])
+            out[nonempty] = sums
     return pa.table(
         {"doc_id": batch["doc_id"], "fingerprint": pa.array(out.view(np.int64))}
     )

@@ -86,3 +86,31 @@ def test_text_hashes_arrow_null_vs_empty():
     assert (h1[1], h2[1]) == (h1[3], h2[3])
     # key tuples differ between NULL and ''
     assert (h1[0], h2[0], lens[0]) != (h1[1], h2[1], lens[1])
+
+
+def test_fingerprint_matches_scalar_definition():
+    """Vectorized flat-buffer fingerprint == scalar Horner h = h*P + byte
+    mod 2^64, including empty docs and a sliced (offset != 0) column."""
+    import random
+    import string
+
+    import pyarrow as pa
+
+    from geo_ray.stages.text import fingerprint
+
+    rng = random.Random(3)
+    texts = ["", "a", "hello world", ""] + [
+        "".join(rng.choices(string.printable, k=rng.randint(0, 300))) for _ in range(50)
+    ] + [""]
+
+    def scalar(t: str) -> int:
+        h = 0
+        for b in t.encode("utf-8"):
+            h = (h * 1099511628211 + b) % 2**64
+        return h - 2**64 if h >= 2**63 else h
+
+    tbl = pa.table({"doc_id": pa.array(range(len(texts))), "text": pa.array(texts)})
+    got = fingerprint(tbl)["fingerprint"].to_pylist()
+    assert got == [scalar(t) for t in texts]
+    sl = tbl.slice(3, 30)
+    assert fingerprint(sl)["fingerprint"].to_pylist() == [scalar(t) for t in texts[3:33]]
