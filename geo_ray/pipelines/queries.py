@@ -1401,55 +1401,11 @@ def q_dedup_filtered_docs(sf_dir: str):
 
     ds = _docs_ds(sf_dir).map_batches(hash_stage, batch_format="pyarrow", zero_copy_batch=True)
     from geo_ray.stages.agg import hash_bucket_apply
+    from geo_ray.stages.join import tagged_anti_join
 
     losers_ds = hash_bucket_apply(ds, "bucket", losers_bucket)
-
-    def loser_side(b) -> pa.Table:
-        if "doc_id" not in b.column_names or b.num_rows == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], pa.int64()),
-                    "side": pa.array([], pa.int64()),
-                    "jbucket": pa.array([], pa.int64()),
-                }
-            )
-        d = b["doc_id"].to_numpy().astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": pa.array(d),
-                "side": pa.array(np.zeros(d.size, dtype=np.int64)),
-                "jbucket": pa.array(d % np.int64(N_DEDUP_BUCKETS)),
-            }
-        )
-
-    def doc_side(b: pa.Table) -> pa.Table:
-        d = b["doc_id"].to_numpy().astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": pa.array(d),
-                "side": pa.array(np.ones(d.size, dtype=np.int64)),
-                "jbucket": pa.array(d % np.int64(N_DEDUP_BUCKETS)),
-            }
-        )
-
-    def anti_join_bucket(g):
-        import pandas as pd
-
-        side = g["side"].to_numpy()
-        doc = g["doc_id"].to_numpy(np.int64)
-        lost = np.unique(doc[side == 0])
-        mine = doc[side == 1]
-        if lost.size:
-            pos = np.searchsorted(lost, mine)
-            pos_c = np.minimum(pos, lost.size - 1)
-            mine = mine[lost[pos_c] != mine]
-        return pd.DataFrame({"doc_id": mine})
-
     corpus = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    both = losers_ds.map_batches(loser_side, batch_format="pyarrow").union(
-        corpus.map_batches(doc_side, batch_format="pyarrow", zero_copy_batch=True)
-    )
-    return hash_bucket_apply(both, "jbucket", anti_join_bucket)
+    return tagged_anti_join(corpus, losers_ds, probe_key="doc_id", num_buckets=N_DEDUP_BUCKETS)
 
 
 SQL_DEDUP_FILTERED_DOCS = """SELECT doc_id FROM documents
@@ -1658,15 +1614,16 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus"""
 
 
 def q_customers_without_orders(sf_dir: str):
-    """Broadcast ANTI-join: customers with no URGENT-priority order.
-    Distributed distinct of the (filter-pruned) order custkeys — per-batch
-    unique -> tree combine, no raw order rows move — then the compact key
-    set is broadcast once and customers are filtered via np.isin."""
-    import ray
-
-    from geo_ray.stages import agg as agg_st
-
+    """Distributed ANTI-join: customers with no URGENT-priority order.
+    Both sides co-partition on hash(custkey) through one tagged-union
+    shuffle (stages/join.py:tagged_anti_join) and each bucket emits its
+    unmatched customers — the active-custkey set is O(customers) at TPC-H
+    shape, so the old collect-distinct + broadcast + np.isin plan put an
+    unbounded set on the driver. Per-batch pre-unique keeps the exclude
+    side's shuffle rows at distinct-keys-per-block."""
     import pyarrow.dataset as pads
+
+    from geo_ray.stages.join import tagged_anti_join
 
     rd = _rd()
     # predicate pushdown: only urgent-order row groups/rows leave the scan
@@ -1678,20 +1635,11 @@ def q_customers_without_orders(sf_dir: str):
 
     def uniq(b: pa.Table) -> pa.Table:
         u = np.unique(b["o_custkey"].to_numpy().astype(np.int64))
-        return pa.table({"k": pa.array(u), "one": pa.array(np.ones(u.size, dtype=np.int64))})
+        return pa.table({"o_custkey": pa.array(u)})
 
-    distinct = agg_st.tree_max(ok.map_batches(uniq, batch_format="pyarrow"), "k", "one")
-    keys = np.sort(distinct.to_pandas()["k"].to_numpy(np.int64))
-    keys_ref = ray.put(keys)
-
-    def anti(b: pa.Table) -> pa.Table:
-        have = ray.get(keys_ref)
-        ck = b["c_custkey"].to_numpy().astype(np.int64)
-        keep = ~np.isin(ck, have)
-        return b.filter(pa.array(keep)).select(["c_custkey", "c_name"])
-
+    ok = ok.map_batches(uniq, batch_format="pyarrow", zero_copy_batch=True)
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    return cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+    return tagged_anti_join(cust, ok, probe_key="c_custkey", exclude_key="o_custkey")
 
 
 SQL_CUSTOMERS_WITHOUT_ORDERS = """SELECT c_custkey, c_name FROM customer c

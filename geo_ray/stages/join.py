@@ -58,3 +58,66 @@ class BroadcastHashJoin:
         for c, arr in self.build_cols.items():
             out = out.append_column(c, pc.take(arr, take))
         return out
+
+
+def tagged_anti_join(
+    probe_ds,
+    exclude_ds,
+    probe_key: str,
+    exclude_key: str | None = None,
+    num_buckets: int = 64,
+):
+    """Distributed ANTI-join: probe rows whose key never appears on the
+    exclude side. Both sides hash-bucket on the (int64-able) key — a tagged
+    union through ONE co-partition shuffle — and each bucket drops probe
+    rows matching its sorted unique exclude keys via ``np.searchsorted``.
+
+    This is the scale-safe replacement for collect-distinct + ``ray.put``
+    broadcast + ``np.isin``: the exclude-key set is unbounded at corpus
+    scale (duplicate doc_ids, active-customer keys, ...) and must never
+    funnel through the driver. Probe columns other than the key ride
+    through the shuffle; the exclude side ships only its key column.
+    """
+    exclude_key = exclude_key or probe_key
+    schema = probe_ds.schema()
+    carry = [c for c in schema.names if c != probe_key]
+    types = dict(zip(schema.names, schema.types))
+    nb = np.int64(num_buckets)
+
+    def _cols(keys: pa.Array, side_val: int, src: pa.Table | None) -> pa.Table:
+        k = keys.cast(pa.int64())
+        kn = k.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(k)
+        cols = {probe_key: k}
+        for c in carry:
+            cols[c] = src[c] if src is not None else pa.nulls(n, types[c])
+        cols["_side"] = pa.array(np.full(n, side_val, dtype=np.int64))
+        cols["_jb"] = pa.array(kn % nb)
+        return pa.table(cols)
+
+    def ex_side(b: pa.Table) -> pa.Table:
+        if exclude_key not in b.column_names or b.num_rows == 0:
+            return _cols(pa.array([], pa.int64()), 0, None)
+        return _cols(b[exclude_key].combine_chunks() if isinstance(b[exclude_key], pa.ChunkedArray) else b[exclude_key], 0, None)
+
+    def pr_side(b: pa.Table) -> pa.Table:
+        return _cols(b[probe_key].combine_chunks() if isinstance(b[probe_key], pa.ChunkedArray) else b[probe_key], 1, b)
+
+    def anti_bucket(g):
+        side = g["_side"].to_numpy()
+        keys = g[probe_key].to_numpy()
+        ex = np.unique(keys[side == 0])
+        mine = g[side == 1]
+        if ex.size:
+            kk = mine[probe_key].to_numpy()
+            pos = np.searchsorted(ex, kk)
+            pos_c = np.minimum(pos, ex.size - 1)
+            mine = mine[ex[pos_c] != kk]
+        return mine.drop(columns=["_side", "_jb"])
+
+    from geo_ray.stages.agg import hash_bucket_apply
+
+    both = exclude_ds.map_batches(ex_side, batch_format="pyarrow").union(
+        probe_ds.map_batches(pr_side, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return hash_bucket_apply(both, "_jb", anti_bucket, num_blocks=num_buckets)

@@ -42,3 +42,40 @@ def test_empty_probe(tmp_path):
     path = _build(tmp_path, {"k": pa.array([1], pa.int64()), "x": [9]})
     out = BroadcastHashJoin("k", path=path)(pa.table({"k": pa.array([], pa.int64())}))
     assert out.num_rows == 0 and "x" in out.column_names
+
+
+def test_tagged_anti_join_matches_set_difference(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from geo_ray.stages.join import tagged_anti_join
+
+    rng = np.random.default_rng(11)
+    probe_keys = rng.choice(1000, size=400, replace=False).astype(np.int64)
+    ex_keys = rng.choice(1000, size=300, replace=True).astype(np.int64)
+    probe = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(probe_keys),
+                "name": pa.array([f"n{v}" for v in probe_keys]),
+            }
+        )
+    )
+    exclude = rd.from_arrow(pa.table({"ek": pa.array(ex_keys)}))
+    out = tagged_anti_join(probe, exclude, probe_key="k", exclude_key="ek").to_pandas()
+    want = sorted(set(probe_keys.tolist()) - set(ex_keys.tolist()))
+    assert sorted(out["k"].tolist()) == want
+    # carried column survives and stays aligned
+    assert all(n == f"n{k}" for k, n in zip(out["k"], out["name"]))
+
+
+def test_tagged_anti_join_empty_exclude(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from geo_ray.stages.join import tagged_anti_join
+
+    probe = rd.from_arrow(pa.table({"k": pa.array(np.arange(10, dtype=np.int64))}))
+    exclude = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    out = tagged_anti_join(probe, exclude, probe_key="k").to_pandas()
+    assert sorted(out["k"].tolist()) == list(range(10))
