@@ -80,12 +80,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pipeline": Q.q_tile_pipeline,
         "tile_pipeline_salted": Q.q_tile_pipeline_salted,
         "tile_counts": Q.q_tile_counts,
+        "fingerprints": Q.q_fingerprints,
+        "quality_scores": Q.q_quality_scores,
+        # --- new in round 3 ---
+        "repetition_scores": Q.q_repetition_scores,
+        "event_props_extract": Q.q_event_props_extract,
+        "cross_snapshot_dedup": Q.q_cross_snapshot_dedup,
+        # --- tail (past the driver's 50-row cap): double-green in r1+r2 ---
         "cell_ids": Q.q_cell_ids,
         "lang_id": Q.q_lang_id,
         "token_counts": Q.q_token_counts,
-        "fingerprints": Q.q_fingerprints,
-        "quality_scores": Q.q_quality_scores,
-        # --- tail (past the driver's 50-row cap): double-green in r1+r2 ---
         "derived_points": Q.q_derived_points,
         "point_distance": Q.q_point_distance,
         "point_bearing": Q.q_point_bearing,
@@ -153,6 +157,9 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": Q.SQL_EXACT_DEDUP,
         "fingerprints": Q.SQL_FINGERPRINTS,
         "simhash": Q.SQL_SIMHASH,
+        "repetition_scores": Q.SQL_REPETITION_SCORES,
+        "event_props_extract": Q.SQL_EVENT_PROPS_EXTRACT,
+        "cross_snapshot_dedup": Q.SQL_CROSS_SNAPSHOT_DEDUP,
         "ann_topk": Q.SQL_ANN_TOPK,
         "ivf_topk": Q.SQL_IVF_TOPK,
         "ivf_counts": Q.SQL_IVF_COUNTS,

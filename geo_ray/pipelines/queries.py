@@ -775,6 +775,25 @@ SQL_QUALITY_SCORES = r"""SELECT doc_id,
 FROM documents"""
 
 
+def q_repetition_scores(sf_dir: str):
+    """Within-doc token repetition ratio (Gopher/RefinedWeb-style quality
+    filter signal): 1 - distinct/total whitespace tokens per document."""
+    from geo_ray.stages import text as text_st
+
+    return _docs_ds(sf_dir).map_batches(text_st.repetition_score, batch_format="pyarrow")
+
+
+SQL_REPETITION_SCORES = """SELECT doc_id, n_tokens, n_distinct,
+  ROUND(CASE WHEN n_tokens = 0 THEN 0.0
+             ELSE 1.0 - n_distinct / CAST(n_tokens AS DOUBLE) END, 6) AS rep_ratio
+FROM (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+  FROM (SELECT doc_id, [t FOR t IN string_split(text, ' ') IF t <> ''] AS toks FROM documents)
+)"""
+
+
 def q_stopword_hits(sf_dir: str):
     from geo_ray.stages import text as text_st
 
@@ -1278,6 +1297,31 @@ SQL_EVENT_HOURLY = """SELECT user_id, epoch_us(ts) // 3600000000 AS hour_id,
 FROM events GROUP BY 1, 2"""
 
 
+def q_event_props_extract(sf_dir: str):
+    """Semi-structured payload extraction: pull the integer ``k`` field out
+    of the JSON ``props`` column with Arrow's RE2 ``extract_regex`` — one
+    vectorized pass, no per-row JSON parser, nulls propagate for
+    non-matching payloads. The schema-on-read step every event/log pipeline
+    needs before aggregating."""
+    import pyarrow.compute as pc
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "props"]
+    )
+
+    def ext(b: pa.Table) -> pa.Table:
+        m = pc.extract_regex(b["props"], r'"k":\s*(?P<k>-?\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table({"event_id": b["event_id"], "event_type": b["event_type"], "k": k})
+
+    return ds.map_batches(ext, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_EVENT_PROPS_EXTRACT = """SELECT event_id, event_type,
+  CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events"""
+
+
 def q_event_sessions(sf_dir: str):
     """Sessionization: per user, count sessions split at >30 min gaps.
 
@@ -1410,6 +1454,47 @@ def q_dedup_filtered_docs(sf_dir: str):
 
 SQL_DEDUP_FILTERED_DOCS = """SELECT doc_id FROM documents
 WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)"""
+
+
+def q_cross_snapshot_dedup(sf_dir: str):
+    """INCREMENTAL dedup between corpus snapshots: even doc_ids stand in
+    for the EXISTING snapshot, odd doc_ids for the NEW increment; keep the
+    increment docs whose text never appears in the existing snapshot (the
+    crawl-refresh step of a training-data pipeline — only new content
+    enters). Both sides reduce to the (h1, h2, len) BLAKE2b-128 text key
+    and the increment anti-joins against the snapshot through the
+    multi-column co-partition (stages/join.py:tagged_anti_join) — the
+    snapshot key set is corpus-sized and never leaves the cluster."""
+    from geo_ray.kernels import strhash
+    from geo_ray.stages.join import tagged_anti_join
+
+    def hash_stage(b: pa.Table) -> pa.Table:
+        h1, h2, lens = strhash.text_hashes_arrow(b["text"])
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "len": pa.array(lens),
+            }
+        )
+
+    def parity(b: pa.Table, keep_odd: bool) -> pa.Table:
+        d = b["doc_id"].to_numpy().astype(np.int64)
+        return b.filter(pa.array((d % 2 == 1) == keep_odd))
+
+    hashed = _docs_ds(sf_dir).map_batches(
+        hash_stage, batch_format="pyarrow", zero_copy_batch=True
+    )
+    new = hashed.map_batches(parity, fn_kwargs={"keep_odd": True}, batch_format="pyarrow")
+    old = hashed.map_batches(parity, fn_kwargs={"keep_odd": False}, batch_format="pyarrow")
+    out = tagged_anti_join(new, old, probe_key=["h1", "h2", "len"])
+    return out.select_columns(["doc_id"])
+
+
+SQL_CROSS_SNAPSHOT_DEDUP = """SELECT d.doc_id FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND NOT EXISTS (SELECT 1 FROM documents o WHERE o.doc_id % 2 = 0 AND o.text = d.text)"""
 
 
 # Overlapping price bands for the 1-D range join: band k covers

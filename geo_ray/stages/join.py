@@ -60,56 +60,94 @@ class BroadcastHashJoin:
         return out
 
 
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _mix_keys(cols: list[np.ndarray]) -> np.ndarray:
+    """Deterministic FNV mix of parallel int64 key columns -> uint64 — the
+    bucket-routing hash (comparison inside a bucket stays EXACT on the full
+    key tuple, so mix collisions only co-locate, never conflate)."""
+    h = np.full(cols[0].size, _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for c in cols:
+            h = (h ^ c.view(np.uint64)) * _FNV_PRIME
+    return h
+
+
 def tagged_anti_join(
     probe_ds,
     exclude_ds,
-    probe_key: str,
-    exclude_key: str | None = None,
+    probe_key: str | list[str],
+    exclude_key: str | list[str] | None = None,
     num_buckets: int = 64,
 ):
-    """Distributed ANTI-join: probe rows whose key never appears on the
-    exclude side. Both sides hash-bucket on the (int64-able) key — a tagged
-    union through ONE co-partition shuffle — and each bucket drops probe
-    rows matching its sorted unique exclude keys via ``np.searchsorted``.
+    """Distributed ANTI-join: probe rows whose key (one or more int64-able
+    columns) never appears on the exclude side. Both sides hash-bucket on an
+    FNV mix of the key tuple — a tagged union through ONE co-partition
+    shuffle — and each bucket drops probe rows matching its sorted unique
+    exclude keys via ``np.searchsorted`` (multi-column keys compare exactly
+    through a structured-dtype view; the routing hash only co-locates).
 
     This is the scale-safe replacement for collect-distinct + ``ray.put``
     broadcast + ``np.isin``: the exclude-key set is unbounded at corpus
-    scale (duplicate doc_ids, active-customer keys, ...) and must never
-    funnel through the driver. Probe columns other than the key ride
-    through the shuffle; the exclude side ships only its key column.
+    scale (duplicate doc_ids, active-customer keys, snapshot text hashes,
+    ...) and must never funnel through the driver. Probe columns other than
+    the keys ride through the shuffle; the exclude side ships only its key
+    columns.
     """
-    exclude_key = exclude_key or probe_key
+    pkeys = [probe_key] if isinstance(probe_key, str) else list(probe_key)
+    ekeys = (
+        pkeys
+        if exclude_key is None
+        else [exclude_key] if isinstance(exclude_key, str) else list(exclude_key)
+    )
+    if len(pkeys) != len(ekeys):
+        raise ValueError("probe_key and exclude_key arity mismatch")
     schema = probe_ds.schema()
-    carry = [c for c in schema.names if c != probe_key]
+    carry = [c for c in schema.names if c not in pkeys]
     types = dict(zip(schema.names, schema.types))
     nb = np.int64(num_buckets)
+    kdt = np.dtype([(f"f{i}", np.int64) for i in range(len(pkeys))])
 
-    def _cols(keys: pa.Array, side_val: int, src: pa.Table | None) -> pa.Table:
-        k = keys.cast(pa.int64())
-        kn = k.to_numpy(zero_copy_only=False).astype(np.int64)
-        n = len(k)
-        cols = {probe_key: k}
+    def _cols(key_arrs: list[pa.Array], side_val: int, src: pa.Table | None) -> pa.Table:
+        ks = [a.cast(pa.int64()) for a in key_arrs]
+        kns = [k.to_numpy(zero_copy_only=False).astype(np.int64) for k in ks]
+        n = len(ks[0])
+        cols = dict(zip(pkeys, ks))
         for c in carry:
             cols[c] = src[c] if src is not None else pa.nulls(n, types[c])
         cols["_side"] = pa.array(np.full(n, side_val, dtype=np.int64))
-        cols["_jb"] = pa.array(kn % nb)
+        cols["_jb"] = pa.array((_mix_keys(kns) % np.uint64(nb)).astype(np.int64))
         return pa.table(cols)
 
+    def _arrs(b: pa.Table, names: list[str]) -> list[pa.Array]:
+        out = []
+        for c in names:
+            a = b[c]
+            out.append(a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a)
+        return out
+
     def ex_side(b: pa.Table) -> pa.Table:
-        if exclude_key not in b.column_names or b.num_rows == 0:
-            return _cols(pa.array([], pa.int64()), 0, None)
-        return _cols(b[exclude_key].combine_chunks() if isinstance(b[exclude_key], pa.ChunkedArray) else b[exclude_key], 0, None)
+        if any(c not in b.column_names for c in ekeys) or b.num_rows == 0:
+            return _cols([pa.array([], pa.int64()) for _ in pkeys], 0, None)
+        return _cols(_arrs(b, ekeys), 0, None)
 
     def pr_side(b: pa.Table) -> pa.Table:
-        return _cols(b[probe_key].combine_chunks() if isinstance(b[probe_key], pa.ChunkedArray) else b[probe_key], 1, b)
+        return _cols(_arrs(b, pkeys), 1, b)
+
+    def _void(df) -> np.ndarray:
+        mat = np.ascontiguousarray(
+            np.stack([df[c].to_numpy().astype(np.int64) for c in pkeys], axis=1)
+        )
+        return mat.view(kdt).ravel()
 
     def anti_bucket(g):
         side = g["_side"].to_numpy()
-        keys = g[probe_key].to_numpy()
-        ex = np.unique(keys[side == 0])
+        ex = np.unique(_void(g[side == 0]))
         mine = g[side == 1]
         if ex.size:
-            kk = mine[probe_key].to_numpy()
+            kk = _void(mine)
             pos = np.searchsorted(ex, kk)
             pos_c = np.minimum(pos, ex.size - 1)
             mine = mine[ex[pos_c] != kk]

@@ -108,3 +108,36 @@ def fingerprint(batch: pa.Table) -> pa.Table:
     return pa.table(
         {"doc_id": batch["doc_id"], "fingerprint": pa.array(out.view(np.int64))}
     )
+
+
+def repetition_score(batch: pa.Table) -> pa.Table:
+    """Within-document repetition (a Gopher/RefinedWeb-style quality
+    signal): 1 - distinct_tokens/total_tokens per doc over whitespace
+    tokens, 0.0 for token-free docs. One Arrow tokenize+hash pass for the
+    whole batch (FNV-1a token identity, ~2^-64 per-pair collision), distinct
+    counts via a lexsort first-occurrence mask — no per-row Python."""
+    from geo_ray.kernels import fixed as fixed_k
+    from geo_ray.kernels import strhash
+
+    n = batch.num_rows
+    th, offs = strhash.token_hashes_arrow(batch["text"])
+    tot = np.diff(offs)
+    uniq = np.zeros(n, dtype=np.int64)
+    if th.size:
+        doc_of = np.repeat(np.arange(n, dtype=np.int64), tot)
+        order = np.lexsort((th, doc_of))
+        d, h = doc_of[order], th[order]
+        first = np.ones(h.size, dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        uniq = np.bincount(d[first], minlength=n).astype(np.int64)
+    ratio = np.zeros(n, dtype=np.float64)
+    nz = tot > 0
+    ratio[nz] = 1.0 - uniq[nz] / tot[nz].astype(np.float64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(tot.astype(np.int64)),
+            "n_distinct": pa.array(uniq),
+            "rep_ratio": pa.array(fixed_k.round_half_away(ratio, 6)),
+        }
+    )

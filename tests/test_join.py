@@ -79,3 +79,53 @@ def test_tagged_anti_join_empty_exclude(ray_session):
     exclude = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
     out = tagged_anti_join(probe, exclude, probe_key="k").to_pandas()
     assert sorted(out["k"].tolist()) == list(range(10))
+
+
+def test_tagged_anti_join_multikey(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from geo_ray.stages.join import tagged_anti_join
+
+    # pairs that collide on each single column but not the tuple must survive
+    probe = rd.from_arrow(
+        pa.table(
+            {
+                "a": pa.array([1, 1, 2, 3], pa.int64()),
+                "b": pa.array([10, 11, 10, 30], pa.int64()),
+                "tag": pa.array(["w", "x", "y", "z"]),
+            }
+        )
+    )
+    exclude = rd.from_arrow(
+        pa.table({"a": pa.array([1, 9], pa.int64()), "b": pa.array([10, 30], pa.int64())})
+    )
+    out = tagged_anti_join(probe, exclude, probe_key=["a", "b"]).to_pandas()
+    got = sorted(zip(out["a"], out["b"], out["tag"]))
+    assert got == [(1, 11, "x"), (2, 10, "y"), (3, 30, "z")]
+
+
+def test_cross_snapshot_dedup_with_real_dups(ray_session, tmp_path):
+    import duckdb
+    import numpy as np
+
+    from geo_ray.pipelines import queries as Q
+
+    # texts 0..19 for even ids; odd ids reuse an even text when i % 3 == 0
+    ids = list(range(40))
+    texts = []
+    for i in ids:
+        if i % 2 == 1 and i % 3 == 0:
+            texts.append(f"text {(i + 1) % 20}")  # collides with an even doc
+        else:
+            texts.append(f"text {i}")
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    got = sorted(Q.q_cross_snapshot_dedup(str(tmp_path)).to_pandas()["doc_id"].tolist())
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    want = sorted(r[0] for r in con.sql(Q.SQL_CROSS_SNAPSHOT_DEDUP).fetchall())
+    assert got == want
+    assert len(got) < 20  # some odd docs actually got excluded
