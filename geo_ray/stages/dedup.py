@@ -151,14 +151,16 @@ def minhash_bands(batch: pa.Table) -> pa.Table:
     n = batch.num_rows
     sigs = batch_signatures(batch["text"])
     band_keys = _band_keys(sigs, n)
+    import pyarrow.compute as pc
+
     out_doc = np.repeat(doc_ids, N_BANDS)
     out_key = band_keys.ravel()
-    sig_bytes = [sigs[i].tobytes() for i in range(n) for _ in range(N_BANDS)]
+    sig_rep = pc.take(binary_rows(sigs), pa.array(np.repeat(np.arange(n, dtype=np.int64), N_BANDS)))
     return pa.table(
         {
             "band_key": pa.array(out_key),
             "doc_id": pa.array(out_doc),
-            "sig": pa.array(sig_bytes, type=pa.binary()),
+            "sig": sig_rep,
         }
     )
 
@@ -220,16 +222,24 @@ def coarse_bucket_pairs(group, threshold: float = 0.6):
 
 
 
+def binary_rows(mat: np.ndarray) -> pa.Array:
+    """(n, k) uint64 matrix -> binary array of the n row payloads (k*8 bytes
+    each), built from ONE flat value buffer + arithmetic offsets — no
+    per-row Python bytes objects in the signing hot path."""
+    n, k = mat.shape
+    width = k * 8
+    offs = np.arange(n + 1, dtype=np.int32) * np.int32(width)
+    return pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(np.ascontiguousarray(mat).tobytes())],
+    )
+
+
 def doc_signatures(batch: pa.Table) -> pa.Table:
     """(doc_id, sig) — one signature row per document (the join side)."""
     sigs = batch_signatures(batch["text"])
-    n = batch.num_rows
-    return pa.table(
-        {
-            "doc_id": batch["doc_id"],
-            "sig": pa.array([sigs[i].tobytes() for i in range(n)], type=pa.binary()),
-        }
-    )
+    return pa.table({"doc_id": batch["doc_id"], "sig": binary_rows(sigs)})
 
 
 def bands_from_signatures(batch: pa.Table) -> pa.Table:
@@ -515,16 +525,25 @@ def ngram_doc_shingles(batch: pa.Table, n: int = 3) -> pa.Table:
     first[1:] = (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1])
     d_u, v_u = d_s[first], v_s[first]
     new_offs = np.searchsorted(d_u, np.arange(m + 1, dtype=np.int64))
-    gb = gkey.tobytes()
-    blobs = [
-        gb[8 * i : 8 * i + 8] + v_u[new_offs[i] : new_offs[i + 1]].tobytes() for i in range(m)
-    ]
-    return pa.table(
-        {
-            "doc_id": batch["doc_id"].cast(pa.int64()),
-            "shing": pa.array(blobs, type=pa.binary()),
-        }
+    # blob = gkey word + the doc's sorted shingle words, assembled in one
+    # flat uint64 buffer (scatter gkeys at each row start, shingles fill the
+    # rest) — no per-row Python bytes concatenation.
+    blob_offs = new_offs + np.arange(m + 1, dtype=np.int64)
+    flat = np.empty(int(blob_offs[-1]), dtype=np.uint64)
+    is_gkey = np.zeros(flat.size, dtype=bool)
+    is_gkey[blob_offs[:-1]] = True
+    flat[blob_offs[:-1]] = gkey
+    flat[~is_gkey] = v_u
+    shing = pa.Array.from_buffers(
+        pa.binary(),
+        m,
+        [
+            None,
+            pa.py_buffer((blob_offs * 8).astype(np.int32).tobytes()),
+            pa.py_buffer(flat.tobytes()),
+        ],
     )
+    return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()), "shing": shing})
 
 
 def _parse_shing_blobs(arr):
