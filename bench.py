@@ -131,6 +131,12 @@ def bench_queries(sf_dir: str):
         "exact_dedup": lambda: Q.q_exact_dedup(sf_dir),
         "minhash_pairs_joined": lambda: Q.q_minhash_pairs_joined(sf_dir),
         "cluster_copart": lambda: Q.q_cluster_copart(sf_dir),
+        # round-3 additions (r1/r2 comparisons use the shared prefix above)
+        "ngram_dup_groups": lambda: Q.q_ngram_dup_groups(sf_dir),
+        "dedup_filtered_docs": lambda: Q.q_dedup_filtered_docs(sf_dir),
+        "cross_snapshot_dedup": lambda: Q.q_cross_snapshot_dedup(sf_dir),
+        "repetition_scores": lambda: Q.q_repetition_scores(sf_dir),
+        "event_props_extract": lambda: Q.q_event_props_extract(sf_dir),
     }
 
 
