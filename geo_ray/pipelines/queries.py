@@ -1165,9 +1165,19 @@ def q_simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
 
 def q_ngram_dup_groups(sf_dir: str):
     """Exact n-gram Jaccard pairs within (lang, source) groups, as a BANDED
-    shuffle: (lang, source) folds into the LSH band key (32 two-row minhash
-    bands — candidate recall identical to the previous per-group prefilter:
-    miss probability (1-J^2)^32, ~1e-4 at J=0.5 and <1e-9 at J>=0.7), so no
+    shuffle — see :func:`ngram_banded_pairs` for the plan."""
+    docs = _rd().read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    return ngram_banded_pairs(docs)
+
+
+def ngram_banded_pairs(docs):
+    """Exact n-gram Jaccard pairs within (lang, source) groups over any
+    documents Dataset (doc_id, text, lang, source), as a BANDED shuffle:
+    (lang, source) folds into the LSH band key (32 two-row minhash bands —
+    candidate recall identical to the previous per-group prefilter: miss
+    probability (1-J^2)^32, ~1e-4 at J=0.5 and <1e-9 at J>=0.7), so no
     shuffle partition ever holds a whole language slice (VERDICT r2 item 3).
     Candidates dedup via pair-key tree-max, then verify EXACT Jaccard by
     joining back to the per-doc sorted-shingle-set table through doc_id and
@@ -1176,10 +1186,6 @@ def q_ngram_dup_groups(sf_dir: str):
     from geo_ray.stages import dedup as dedup_st
     from geo_ray.stages.agg import hash_bucket_apply, tree_max
 
-    rd = _rd()
-    docs = rd.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
-    )
     # shingle the corpus EXACTLY ONCE: (doc_id, gkey+sorted shingle set)
     shing_tbl = docs.map_batches(dedup_st.ngram_doc_shingles, batch_format="pyarrow").materialize()
     bands = shing_tbl.map_batches(dedup_st.ngram_bands, batch_format="pyarrow")
