@@ -81,8 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pipeline_salted": Q.q_tile_pipeline_salted,
         "tile_counts": Q.q_tile_counts,
         "fingerprints": Q.q_fingerprints,
-        "quality_scores": Q.q_quality_scores,
         # --- new in round 3 ---
+        "contamination_flags": Q.q_contamination_flags,
         "repetition_scores": Q.q_repetition_scores,
         "event_props_extract": Q.q_event_props_extract,
         "cross_snapshot_dedup": Q.q_cross_snapshot_dedup,
@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_refs": Q.q_media_refs,
         "token_counts_bpe": Q.q_token_counts_bpe,
         "stopword_hits": Q.q_stopword_hits,
+        "quality_scores": Q.q_quality_scores,
     }
 
 
@@ -160,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_scores": Q.SQL_REPETITION_SCORES,
         "event_props_extract": Q.SQL_EVENT_PROPS_EXTRACT,
         "cross_snapshot_dedup": Q.SQL_CROSS_SNAPSHOT_DEDUP,
+        "contamination_flags": Q.SQL_CONTAMINATION_FLAGS,
         "ann_topk": Q.SQL_ANN_TOPK,
         "ivf_topk": Q.SQL_IVF_TOPK,
         "ivf_counts": Q.SQL_IVF_COUNTS,

@@ -830,6 +830,79 @@ SELECT doc_id,
 FROM hits"""
 
 
+_BENCH_SOURCE = "src0"  # the held-out "benchmark suite" slice of the corpus
+_CONTAM_K = 3  # word n-gram width for the contamination probe
+
+
+def q_contamination_flags(sf_dir: str):
+    """Benchmark-contamination check (the eval-decontamination step of an
+    LLM training-data pipeline): flag every corpus document containing any
+    word 3-gram that appears in the held-out benchmark slice
+    (``source = 'src0'``).
+
+    Scale shape: the benchmark fingerprint set is tiny BY DEFINITION (eval
+    suites are thousands of documents, not billions), so the right plan at
+    100 TB is build-once + broadcast, never a shuffle join — the build side
+    emits per-batch DISTINCT shingle hashes (bounded), the union happens on
+    the collected partials, and the corpus side is a pure broadcast map
+    (``searchsorted`` probe per batch, one object-store fetch per actor).
+    Gram identity is the FNV polynomial over FNV-1a token hashes; the
+    DuckDB oracle joins the literal gram STRINGS, so a 64-bit collision
+    would surface as a count mismatch."""
+    import pyarrow.dataset as pads
+    import ray
+
+    from geo_ray.stages import text as text_st
+
+    rd = _rd()
+    bench_ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=pads.field("source") == _BENCH_SOURCE,
+    )
+    parts = bench_ds.map_batches(
+        lambda b: text_st.benchmark_ngram_partial(b, _CONTAM_K), batch_format="pyarrow"
+    ).to_pandas()
+    bench = np.unique(parts["h"].to_numpy(np.int64).view(np.uint64)) if len(parts) else np.zeros(0, np.uint64)
+    bench_ref = ray.put(bench)
+
+    corpus = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=pads.field("source") != _BENCH_SOURCE,
+    )
+    return corpus.map_batches(
+        text_st.ContaminationCount,
+        fn_constructor_kwargs={"bench_ref": bench_ref, "k": _CONTAM_K},
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+SQL_CONTAMINATION_FLAGS = f"""WITH toks AS (
+  SELECT doc_id, source, [t FOR t IN string_split(text, ' ') IF t <> ''] AS ts
+  FROM documents
+), pos AS (
+  SELECT doc_id, source, ts, unnest(generate_series(1, greatest(len(ts) - {_CONTAM_K - 1}, 0))) AS i
+  FROM toks
+), grams AS (
+  SELECT doc_id, source, array_to_string(ts[i:i+{_CONTAM_K - 1}], ' ') AS gram FROM pos
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE source = '{_BENCH_SOURCE}'
+), hits AS (
+  SELECT g.doc_id, count(*) AS cnt
+  FROM grams g JOIN bench b USING (gram)
+  WHERE g.source <> '{_BENCH_SOURCE}'
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.cnt, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN COALESCE(h.cnt, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM (SELECT doc_id FROM documents WHERE source <> '{_BENCH_SOURCE}') d
+LEFT JOIN hits h USING (doc_id)"""
+
+
 def q_exact_dedup(sf_dir: str):
     """Exact dedup: keep the smallest doc_id per identical text.
 

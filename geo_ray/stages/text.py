@@ -141,3 +141,69 @@ def repetition_score(batch: pa.Table) -> pa.Table:
             "rep_ratio": pa.array(fixed_k.round_half_away(ratio, 6)),
         }
     )
+
+
+def doc_ngram_hashes(batch: pa.Table, k: int = 3):
+    """Word k-gram shingle hashes for every document with >= k tokens.
+
+    Returns ``(keep, shingles, sh_offsets)``: ``keep`` marks the batch rows
+    that produced shingle runs (token count >= k), ``shingles`` is the flat
+    uint64 shingle-hash array over those rows, ``sh_offsets`` its per-kept-doc
+    offsets. Identity is the FNV polynomial over FNV-1a token hashes
+    (:func:`geo_ray.kernels.strhash.shingle_hashes_flat`), so equal word
+    k-grams hash equal across batches, tables and rounds."""
+    from geo_ray.kernels import strhash
+
+    th, offs = strhash.token_hashes_arrow(batch["text"])
+    counts = np.diff(offs)
+    keep = counts >= k
+    kept = counts[keep]
+    offs2 = np.zeros(kept.size + 1, dtype=np.int64)
+    np.cumsum(kept, out=offs2[1:])
+    th2 = th[np.repeat(keep, counts)] if counts.size else th[:0]
+    sh, sh_offs = strhash.shingle_hashes_flat(th2, offs2, k)
+    return keep, sh, sh_offs
+
+
+def benchmark_ngram_partial(batch: pa.Table, k: int = 3) -> pa.Table:
+    """Per-batch DISTINCT word-k-gram hashes of a benchmark corpus — the
+    build side of the contamination check. Output rows are bounded by the
+    batch's distinct gram count; the final union happens on the tiny
+    collected result (benchmark suites are small by definition)."""
+    _, sh, _ = doc_ngram_hashes(batch, k)
+    return pa.table({"h": pa.array(np.unique(sh).view(np.int64))})
+
+
+class ContaminationCount:
+    """Count benchmark n-gram occurrences per corpus document.
+
+    The benchmark fingerprint set (sorted uint64 shingle hashes, built once
+    from the held-out suite) is fetched from the object store ONCE per
+    actor/task in ``__init__`` and probed with ``searchsorted`` per batch —
+    a pure broadcast-map, no shuffle. A position counts as a hit when its
+    word k-gram appears anywhere in the benchmark set."""
+
+    def __init__(self, bench_ref, k: int = 3):
+        import ray
+
+        self.bench = ray.get(bench_ref) if not isinstance(bench_ref, np.ndarray) else bench_ref
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        keep, sh, sh_offs = doc_ngram_hashes(batch, self.k)
+        hits = np.zeros(n, dtype=np.int64)
+        if sh.size and self.bench.size:
+            pos = np.searchsorted(self.bench, sh)
+            ok = (pos < self.bench.size) & (self.bench[np.minimum(pos, self.bench.size - 1)] == sh)
+            # cast before reduceat: np.add over bools is logical OR, not a sum
+            oki = ok.astype(np.int64)
+            per_kept = np.add.reduceat(oki, sh_offs[:-1]) if sh_offs.size > 1 else oki[:0]
+            hits[keep] = per_kept
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_hits": pa.array(hits),
+                "contaminated": pa.array((hits > 0).astype(np.int64)),
+            }
+        )
