@@ -79,10 +79,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_copart": Q.q_knn_copart,
         "tile_pipeline": Q.q_tile_pipeline,
         "tile_pipeline_salted": Q.q_tile_pipeline_salted,
-        "tile_counts": Q.q_tile_counts,
         "fingerprints": Q.q_fingerprints,
         # --- new in round 3 ---
         "contamination_flags": Q.q_contamination_flags,
+        "curation_pipeline": Q.q_curation_pipeline,
         "repetition_scores": Q.q_repetition_scores,
         "event_props_extract": Q.q_event_props_extract,
         "cross_snapshot_dedup": Q.q_cross_snapshot_dedup,
@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_bpe": Q.q_token_counts_bpe,
         "stopword_hits": Q.q_stopword_hits,
         "quality_scores": Q.q_quality_scores,
+        "tile_counts": Q.q_tile_counts,
     }
 
 
@@ -162,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "event_props_extract": Q.SQL_EVENT_PROPS_EXTRACT,
         "cross_snapshot_dedup": Q.SQL_CROSS_SNAPSHOT_DEDUP,
         "contamination_flags": Q.SQL_CONTAMINATION_FLAGS,
+        "curation_pipeline": Q.SQL_CURATION_PIPELINE,
         "ann_topk": Q.SQL_ANN_TOPK,
         "ivf_topk": Q.SQL_IVF_TOPK,
         "ivf_counts": Q.SQL_IVF_COUNTS,

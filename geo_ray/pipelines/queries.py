@@ -834,6 +834,32 @@ _BENCH_SOURCE = "src0"  # the held-out "benchmark suite" slice of the corpus
 _CONTAM_K = 3  # word n-gram width for the contamination probe
 
 
+def _bench_ngram_ref(sf_dir: str, k: int = _CONTAM_K):
+    """Build + broadcast the benchmark slice's distinct word-k-gram hash set
+    (sorted uint64). Small by definition (eval suites), so collect + ray.put
+    is the correct scale shape — see ``q_contamination_flags``."""
+    import pyarrow.dataset as pads
+    import ray
+
+    from geo_ray.stages import text as text_st
+
+    rd = _rd()
+    bench_ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filter=pads.field("source") == _BENCH_SOURCE,
+    )
+    parts = bench_ds.map_batches(
+        lambda b: text_st.benchmark_ngram_partial(b, k), batch_format="pyarrow"
+    ).to_pandas()
+    bench = (
+        np.unique(parts["h"].to_numpy(np.int64).view(np.uint64))
+        if len(parts)
+        else np.zeros(0, np.uint64)
+    )
+    return ray.put(bench)
+
+
 def q_contamination_flags(sf_dir: str):
     """Benchmark-contamination check (the eval-decontamination step of an
     LLM training-data pipeline): flag every corpus document containing any
@@ -850,22 +876,11 @@ def q_contamination_flags(sf_dir: str):
     DuckDB oracle joins the literal gram STRINGS, so a 64-bit collision
     would surface as a count mismatch."""
     import pyarrow.dataset as pads
-    import ray
 
     from geo_ray.stages import text as text_st
 
     rd = _rd()
-    bench_ds = rd.read_parquet(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "text"],
-        filter=pads.field("source") == _BENCH_SOURCE,
-    )
-    parts = bench_ds.map_batches(
-        lambda b: text_st.benchmark_ngram_partial(b, _CONTAM_K), batch_format="pyarrow"
-    ).to_pandas()
-    bench = np.unique(parts["h"].to_numpy(np.int64).view(np.uint64)) if len(parts) else np.zeros(0, np.uint64)
-    bench_ref = ray.put(bench)
-
+    bench_ref = _bench_ngram_ref(sf_dir)
     corpus = rd.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text"],
@@ -901,6 +916,90 @@ SELECT d.doc_id,
        CAST(CASE WHEN COALESCE(h.cnt, 0) > 0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
 FROM (SELECT doc_id FROM documents WHERE source <> '{_BENCH_SOURCE}') d
 LEFT JOIN hits h USING (doc_id)"""
+
+
+_CURATE_MIN_TOK, _CURATE_MAX_TOK = 20, 90
+_CURATE_MAX_REP = 0.6
+_CURATE_MAX_HIT_FRAC = 0.5
+
+
+def q_curation_pipeline(sf_dir: str):
+    """End-to-end corpus curation — the headline LLM-training-data flow:
+    drop the benchmark slice, gate on token count / repetition /
+    contamination, then keep one document per identical text (min doc_id).
+
+    Scale shape: ALL per-document signals (token stats, repetition ratio,
+    contamination probe against the broadcast benchmark fingerprint set,
+    BLAKE2b text-hash keys) come out of ONE fused map stage with a single
+    tokenize pass (``stages/text.py:CurationFilter``); the only wide step
+    is the exact-dedup groupby over 32-byte hash keys of the SURVIVORS —
+    the filters run before the shuffle, so the shuffle sees only documents
+    worth keeping, and never the text itself."""
+    import pyarrow.dataset as pads
+
+    from geo_ray.stages import text as text_st
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
+    rd = _rd()
+    bench_ref = _bench_ngram_ref(sf_dir)
+    corpus = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+        filter=pads.field("source") != _BENCH_SOURCE,
+    )
+    passed = corpus.map_batches(
+        text_st.CurationFilter,
+        fn_constructor_kwargs={
+            "bench_ref": bench_ref,
+            "k": _CONTAM_K,
+            "min_tokens": _CURATE_MIN_TOK,
+            "max_tokens": _CURATE_MAX_TOK,
+            "max_rep": _CURATE_MAX_REP,
+            "max_hit_frac": _CURATE_MAX_HIT_FRAC,
+        },
+        concurrency=(1, 8),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def keep_min(g):
+        return g.sort_values("doc_id", kind="mergesort").head(1)
+
+    out = coalesce_for_shuffle(passed).groupby(["h1", "h2", "len"]).map_groups(
+        keep_min, batch_format="pandas"
+    )
+    return out.select_columns(["doc_id", "lang", "source", "n_tokens"])
+
+
+SQL_CURATION_PIPELINE = f"""WITH toks AS (
+  SELECT doc_id, source, lang, text, [t FOR t IN string_split(text, ' ') IF t <> ''] AS ts
+  FROM documents
+), pos AS (
+  SELECT doc_id, source, ts, unnest(generate_series(1, greatest(len(ts) - {_CONTAM_K - 1}, 0))) AS i
+  FROM toks
+), grams AS (
+  SELECT doc_id, source, array_to_string(ts[i:i+{_CONTAM_K - 1}], ' ') AS gram FROM pos
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE source = '{_BENCH_SOURCE}'
+), hits AS (
+  SELECT g.doc_id, count(*) AS cnt
+  FROM grams g JOIN bench b USING (gram)
+  WHERE g.source <> '{_BENCH_SOURCE}'
+  GROUP BY g.doc_id
+), stats AS (
+  SELECT t.doc_id, t.lang, t.source, t.text,
+         CAST(len(ts) AS BIGINT) AS n_tokens,
+         1.0 - len(list_distinct(ts)) / CAST(greatest(len(ts), 1) AS DOUBLE) AS rep,
+         COALESCE(h.cnt, 0) / CAST(greatest(len(ts) - {_CONTAM_K - 1}, 1) AS DOUBLE) AS hit_frac
+  FROM toks t LEFT JOIN hits h USING (doc_id)
+  WHERE t.source <> '{_BENCH_SOURCE}'
+), passed AS (
+  SELECT * FROM stats
+  WHERE n_tokens BETWEEN {_CURATE_MIN_TOK} AND {_CURATE_MAX_TOK}
+    AND rep <= {_CURATE_MAX_REP} AND hit_frac <= {_CURATE_MAX_HIT_FRAC}
+)
+SELECT doc_id, lang, source, n_tokens FROM passed
+QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1"""
 
 
 def q_exact_dedup(sf_dir: str):

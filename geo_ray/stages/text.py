@@ -207,3 +207,86 @@ class ContaminationCount:
                 "contaminated": pa.array((hits > 0).astype(np.int64)),
             }
         )
+
+
+class CurationFilter:
+    """Fused corpus-curation map: token stats + repetition + contamination
+    probe + text-hash keys in ONE tokenize pass per batch.
+
+    Emits only the documents that pass the quality gates, carrying
+    ``(h1, h2, len)`` BLAKE2b text-hash keys so the downstream exact-dedup
+    groupby shuffles 32-byte keys + a few scalars, never text. This is the
+    production corpus-curation shape: all per-doc signals are map-side, the
+    single wide step is the dedup groupby over survivors."""
+
+    def __init__(
+        self,
+        bench_ref,
+        k: int = 3,
+        min_tokens: int = 20,
+        max_tokens: int = 90,
+        max_rep: float = 0.6,
+        max_hit_frac: float = 0.5,
+    ):
+        import ray
+
+        self.bench = ray.get(bench_ref) if not isinstance(bench_ref, np.ndarray) else bench_ref
+        self.k = k
+        self.min_tokens = min_tokens
+        self.max_tokens = max_tokens
+        self.max_rep = max_rep
+        self.max_hit_frac = max_hit_frac
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from geo_ray.kernels import strhash
+
+        n = batch.num_rows
+        th, offs = strhash.token_hashes_arrow(batch["text"])
+        tot = np.diff(offs)
+        # distinct tokens per doc (repetition signal), same as repetition_score
+        uniq = np.zeros(n, dtype=np.int64)
+        if th.size:
+            doc_of = np.repeat(np.arange(n, dtype=np.int64), tot)
+            order = np.lexsort((th, doc_of))
+            d, h = doc_of[order], th[order]
+            first = np.ones(h.size, dtype=bool)
+            first[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+            uniq = np.bincount(d[first], minlength=n).astype(np.int64)
+        rep = np.zeros(n, dtype=np.float64)
+        nz = tot > 0
+        rep[nz] = 1.0 - uniq[nz] / tot[nz].astype(np.float64)
+        # contamination hits from the SAME token hashes
+        hits = np.zeros(n, dtype=np.int64)
+        keep_sh = tot >= self.k
+        if keep_sh.any() and self.bench.size:
+            kept = tot[keep_sh]
+            offs2 = np.zeros(kept.size + 1, dtype=np.int64)
+            np.cumsum(kept, out=offs2[1:])
+            sh, sh_offs = strhash.shingle_hashes_flat(th[np.repeat(keep_sh, tot)], offs2, self.k)
+            pos = np.searchsorted(self.bench, sh)
+            ok = (pos < self.bench.size) & (self.bench[np.minimum(pos, self.bench.size - 1)] == sh)
+            oki = ok.astype(np.int64)
+            hits[keep_sh] = np.add.reduceat(oki, sh_offs[:-1]) if sh_offs.size > 1 else oki[:0]
+        # contamination gate is a FRACTION of gram positions, so the
+        # threshold's meaning is stable as corpus and benchmark sizes grow
+        n_pos = np.maximum(tot - self.k + 1, 1)
+        frac = hits / n_pos.astype(np.float64)
+        passed = (
+            (tot >= self.min_tokens)
+            & (tot <= self.max_tokens)
+            & (rep <= self.max_rep)
+            & (frac <= self.max_hit_frac)
+        )
+        sub = batch.filter(pa.array(passed))
+        h1, h2, lens = strhash.text_hashes_arrow(sub["text"])
+        return pa.table(
+            {
+                "doc_id": sub["doc_id"],
+                "lang": sub["lang"],
+                "source": sub["source"],
+                "n_tokens": pa.array(tot[passed].astype(np.int64)),
+                "h1": pa.array(h1),
+                "h2": pa.array(h2),
+                "len": pa.array(lens),
+            }
+        )

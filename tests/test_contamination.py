@@ -46,3 +46,39 @@ def test_contamination_empty_bench():
     batch = pa.table({"doc_id": [1], "text": ["some words in a document"]})
     got = text_st.ContaminationCount(np.zeros(0, np.uint64), k=3)(batch)
     assert got["n_hits"].to_pylist() == [0]
+
+
+def test_curation_filter_gates_and_dedup_keys():
+    import ray
+    import ray.data as rd
+
+    bench_batch = pa.table({"doc_id": [100], "text": ["spark data engine spark data engine"]})
+    part = text_st.benchmark_ngram_partial(bench_batch)
+    bench = np.unique(part["h"].to_numpy().view(np.uint64))
+
+    long_ok = " ".join(f"w{i}" for i in range(30))
+    repetitive = " ".join(["dup"] * 30)
+    contaminated = "spark data engine " * 10  # every gram hits
+    rows = [
+        (1, long_ok, "en", "srcA"),
+        (2, "too short", "en", "srcA"),
+        (3, repetitive, "en", "srcA"),           # rep_ratio ~0.97 -> dropped
+        (4, contaminated.strip(), "en", "srcA"), # hit_frac 1.0 -> dropped
+        (5, long_ok, "en", "srcB"),              # exact dup of 1
+    ]
+    batch = pa.table(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": [r[2] for r in rows],
+            "source": [r[3] for r in rows],
+        }
+    )
+    f = text_st.CurationFilter(bench, k=3, min_tokens=20, max_tokens=90,
+                               max_rep=0.6, max_hit_frac=0.5)
+    out = f(batch)
+    assert out["doc_id"].to_pylist() == [1, 5]
+    # identical texts -> identical dedup keys; groupby would keep doc 1
+    assert out["h1"].to_pylist()[0] == out["h1"].to_pylist()[1]
+    assert out["h2"].to_pylist()[0] == out["h2"].to_pylist()[1]
+    assert out["len"].to_pylist()[0] == out["len"].to_pylist()[1]
