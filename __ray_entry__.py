@@ -76,13 +76,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join_copart": Q.q_pip_join_copart,
         "pip_join_indexed": Q.q_pip_join_indexed,
         "knn_cities": Q.q_knn_cities,
-        "knn_copart": Q.q_knn_copart,
         "tile_pipeline": Q.q_tile_pipeline,
         "tile_pipeline_salted": Q.q_tile_pipeline_salted,
         "fingerprints": Q.q_fingerprints,
         # --- new in round 3 ---
         "contamination_flags": Q.q_contamination_flags,
         "curation_pipeline": Q.q_curation_pipeline,
+        "snap_roads": Q.q_snap_roads,
         "repetition_scores": Q.q_repetition_scores,
         "event_props_extract": Q.q_event_props_extract,
         "cross_snapshot_dedup": Q.q_cross_snapshot_dedup,
@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stopword_hits": Q.q_stopword_hits,
         "quality_scores": Q.q_quality_scores,
         "tile_counts": Q.q_tile_counts,
+        "knn_copart": Q.q_knn_copart,
     }
 
 
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_snapshot_dedup": Q.SQL_CROSS_SNAPSHOT_DEDUP,
         "contamination_flags": Q.SQL_CONTAMINATION_FLAGS,
         "curation_pipeline": Q.SQL_CURATION_PIPELINE,
+        "snap_roads": Q.SQL_SNAP_ROADS,
         "ann_topk": Q.SQL_ANN_TOPK,
         "ivf_topk": Q.SQL_IVF_TOPK,
         "ivf_counts": Q.SQL_IVF_COUNTS,

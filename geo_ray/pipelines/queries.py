@@ -2852,6 +2852,125 @@ SELECT doc_id, ROUND(MIN({hav}), 3) AS dist_m FROM c GROUP BY doc_id"""
 SQL_DIST_TO_POLYLINE = _sql_dist_to_polyline()
 
 
+def _road_segments():
+    """Deterministic 7-segment 'road network': consecutive CITIES pairs."""
+    from geo_ray.sources import derive as derive_mod
+
+    c = derive_mod.CITIES
+    return [(i, c[i][0], c[i][1], c[i + 1][0], c[i + 1][1]) for i in range(len(c) - 1)]
+
+
+def q_snap_roads(sf_dir: str):
+    """Map-matching snap join: every derived point -> its nearest road
+    segment (closest_on_segment + haversine, argmin with road_id
+    tie-break), emitting the snapped coordinate and distance.
+
+    Scale shape: the road network is the SMALL side — broadcast once per
+    task, refined per batch with 7 vectorized closest-on-segment passes
+    (one per segment) and a running argmin; no shuffle at all. For a
+    planet-scale road network the same stage runs behind a cell-keyed
+    co-partition (points and road segments bucketed by covering cell, the
+    per-cell candidate list replacing the global list) — the machinery
+    ``stages/copartition.py`` already provides for the PIP join."""
+
+    segs = _road_segments()
+
+    def stage(b: pa.Table) -> pa.Table:
+        lat = b["lat"].to_numpy()
+        lng = b["lng"].to_numpy()
+        n = lat.size
+        best_d = np.full(n, np.inf)
+        best_r = np.zeros(n, dtype=np.int64)
+        best_lat = np.zeros(n, dtype=np.float64)
+        best_lng = np.zeros(n, dtype=np.float64)
+        for rid, flat_, flng_, tlat_, tlng_ in segs:
+            clat, clng = seg_k.closest_on_segment(lat, lng, flat_, flng_, tlat_, tlng_)
+            d = dist_k.haversine(lat, lng, clat, clng)
+            upd = d < best_d  # strict: float ties keep the lower road_id
+            best_d[upd] = d[upd]
+            best_r[upd] = rid
+            best_lat[upd] = clat[upd]
+            best_lng[upd] = clng[upd]
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "pt_idx": b["pt_idx"],
+                "road_id": pa.array(best_r),
+                "dist_m": pa.array(fixed_k.round_half_away(best_d, 3)),
+                "snap_lat": pa.array(fixed_k.round_half_away(best_lat, 6)),
+                "snap_lng": pa.array(fixed_k.round_half_away(best_lng, 6)),
+            }
+        )
+
+    return points_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_snap_roads() -> str:
+    eps = "1e-9"
+    R = "6378137.0"
+    segs = _road_segments()
+    roads_rel = (
+        "(VALUES "
+        + ", ".join(f"({r}, {fla!r}, {flg!r}, {tla!r}, {tlg!r})" for r, fla, flg, tla, tlg in segs)
+        + ") AS roads(road_id, flat, flng, tlat, tlng)"
+    )
+    mx = lambda lng: f"({R} * RADIANS({lng}))"
+    my = (
+        lambda lat: f"({R} * LN((1.0 + SIN(RADIANS(LEAST(GREATEST({lat}, -85.0511287798), 85.0511287798)))) / (1.0 - SIN(RADIANS(LEAST(GREATEST({lat}, -85.0511287798), 85.0511287798))))) / 2.0)"
+    )
+    inv_lat = lambda y: f"DEGREES(2.0 * ATAN(EXP(({y}) / {R})) - PI() / 2.0)"
+    inv_lng = lambda x: f"DEGREES(({x}) / {R})"
+    hav = sql_haversine("lat", "lng", "clat", "clng")
+    return f"""{POINTS_CTE}, m AS (
+  SELECT doc_id, pt_idx, lat, lng, road_id, flat, flng, tlat, tlng,
+         {mx('lng')} AS xx, {my('lat')} AS xy,
+         {mx('flng')} AS fx, {my('flat')} AS fy,
+         {mx('tlng')} AS tx, {my('tlat')} AS ty
+  FROM points, {roads_rel}
+), g AS (
+  SELECT *, tx - fx AS sdx, ty - fy AS sdy,
+         SQRT((tx-fx)*(tx-fx) + (ty-fy)*(ty-fy)) AS slen,
+         xx - fx AS svx, xy - fy AS svy,
+         tx - xx AS evx, ty - xy AS evy
+  FROM m
+), a AS (
+  SELECT *, SQRT(svx*svx + svy*svy) AS svlen,
+         (sdx*svx + sdy*svy) / (slen * SQRT(svx*svx + svy*svy)) AS rel_s,
+         (sdx*evx + sdy*evy) / (slen * SQRT(evx*evx + evy*evy)) AS rel_e
+  FROM g
+), a2 AS (
+  SELECT *,
+    CASE WHEN rel_s >= 1.0 - {eps} THEN 0.0
+         WHEN rel_s <= -1.0 + {eps} THEN PI()
+         ELSE ACOS(LEAST(GREATEST(rel_s, -1.0), 1.0)) END AS sa,
+    CASE WHEN rel_e >= 1.0 - {eps} THEN 0.0
+         WHEN rel_e <= -1.0 + {eps} THEN PI()
+         ELSE ACOS(LEAST(GREATEST(rel_e, -1.0), 1.0)) END AS ea
+  FROM a
+), c AS (
+  SELECT doc_id, pt_idx, lat, lng, road_id,
+    CASE WHEN (ABS(xx-fx) < {eps} AND ABS(xy-fy) < {eps}) OR (ABS(xx-tx) < {eps} AND ABS(xy-ty) < {eps}) THEN lat
+         WHEN slen < {eps} THEN flat
+         WHEN sa >= PI()/2.0 THEN flat
+         WHEN ea >= PI()/2.0 THEN tlat
+         ELSE {inv_lat('fy + svlen * SIN(PI()/2.0 - sa) * sdy / slen')} END AS clat,
+    CASE WHEN (ABS(xx-fx) < {eps} AND ABS(xy-fy) < {eps}) OR (ABS(xx-tx) < {eps} AND ABS(xy-ty) < {eps}) THEN lng
+         WHEN slen < {eps} THEN flng
+         WHEN sa >= PI()/2.0 THEN flng
+         WHEN ea >= PI()/2.0 THEN tlng
+         ELSE {inv_lng('fx + svlen * SIN(PI()/2.0 - sa) * sdx / slen')} END AS clng
+  FROM a2
+)
+SELECT doc_id, pt_idx, road_id,
+       ROUND({hav}, 3) AS dist_m,
+       ROUND(clat, 6) AS snap_lat, ROUND(clng, 6) AS snap_lng
+FROM c
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id, pt_idx ORDER BY {hav}, road_id) = 1"""
+
+
+SQL_SNAP_ROADS = _sql_snap_roads()
+
+
 def q_cluster_copart(sf_dir: str):
     """Distributed cluster_nearby (cell halo + union-find + per-component CL,
     stages/cluster_copart.py) over all derived points; output partition is
