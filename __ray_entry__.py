@@ -74,7 +74,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_counts": Q.q_ivf_counts,
         "pip_join": Q.q_pip_join,
         "pip_join_copart": Q.q_pip_join_copart,
-        "pip_join_indexed": Q.q_pip_join_indexed,
         "knn_cities": Q.q_knn_cities,
         "tile_pipeline": Q.q_tile_pipeline,
         "tile_pipeline_salted": Q.q_tile_pipeline_salted,
@@ -83,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_flags": Q.q_contamination_flags,
         "curation_pipeline": Q.q_curation_pipeline,
         "snap_roads": Q.q_snap_roads,
+        "event_value_quantiles": Q.q_event_value_quantiles,
         "repetition_scores": Q.q_repetition_scores,
         "event_props_extract": Q.q_event_props_extract,
         "cross_snapshot_dedup": Q.q_cross_snapshot_dedup,
@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": Q.q_quality_scores,
         "tile_counts": Q.q_tile_counts,
         "knn_copart": Q.q_knn_copart,
+        "pip_join_indexed": Q.q_pip_join_indexed,
     }
 
 
@@ -166,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_flags": Q.SQL_CONTAMINATION_FLAGS,
         "curation_pipeline": Q.SQL_CURATION_PIPELINE,
         "snap_roads": Q.SQL_SNAP_ROADS,
+        "event_value_quantiles": Q.SQL_EVENT_VALUE_QUANTILES,
         "ann_topk": Q.SQL_ANN_TOPK,
         "ivf_topk": Q.SQL_IVF_TOPK,
         "ivf_counts": Q.SQL_IVF_COUNTS,

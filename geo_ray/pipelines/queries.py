@@ -2296,6 +2296,101 @@ JOIN LATERAL (
 ) ON TRUE"""
 
 
+_DD_ZERO_K = -(10**9)  # zero-bucket sentinel: below any real log bucket
+
+
+def q_event_value_quantiles(sf_dir: str):
+    """Per-GROUP mergeable quantile sketch: DDSketch log-bucket histograms
+    of event value, keyed by event_type. Same bucket math as
+    ``q_price_quantile_sketch`` but the partials carry the group key, the
+    groupby key is (event_type, k), and the per-group finish is a tiny
+    ``map_groups`` over one-row-per-bucket histograms — the scale shape for
+    'quantiles of X per category' at any cardinality: shuffle volume is
+    #groups x #log-buckets, never the raw values."""
+    from ray.data.aggregate import Sum
+
+    lg = np.log(_DD_GAMMA)
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = b["value"].to_numpy()
+        # DDSketch zero-bucket: x <= 0 goes to sentinel k that sorts below
+        # every log bucket and reads back as 0.0
+        with np.errstate(divide="ignore"):
+            k = np.where(
+                x > 0,
+                np.ceil(fixed_k.round_half_away(np.log(np.maximum(x, 1e-300)) / lg, 9)),
+                float(_DD_ZERO_K),
+            ).astype(np.int64)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, et))
+        et_s, k_s = et[order], k[order]
+        first = np.ones(k_s.size, dtype=bool)
+        if k_s.size:
+            first[1:] = (et_s[1:] != et_s[:-1]) | (k_s[1:] != k_s[:-1])
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.concatenate([starts, [k_s.size]]))
+        return pa.table(
+            {
+                "event_type": pa.array(et_s[starts].tolist()),
+                "k": pa.array(k_s[starts]),
+                "n_partial": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    hist = coalesce_for_shuffle(parts).groupby(["event_type", "k"]).aggregate(
+        Sum("n_partial", alias_name="n")
+    )
+
+    def finish(g):
+        k = g["k"].to_numpy()
+        n = g["n"].to_numpy()
+        order = np.argsort(k, kind="mergesort")
+        k, n = k[order], n[order]
+        cum = np.cumsum(n)
+        total = int(cum[-1])
+        rows = []
+        for q in (0.5, 0.95, 0.99):
+            rank = int(np.ceil(q * total))
+            i = int(np.searchsorted(cum, rank))
+            ki = int(k[i])
+            rep = 0.0 if ki == _DD_ZERO_K else 2.0 * _DD_GAMMA ** ki / (_DD_GAMMA + 1.0)
+            rows.append((g["event_type"].iloc[0], q, float(fixed_k.round_half_away(rep, 2)), total))
+        import pandas as pd
+
+        return pd.DataFrame(rows, columns=["event_type", "q", "value_est", "n_rows"])
+
+    return hist.groupby("event_type").map_groups(finish, batch_format="pandas")
+
+
+SQL_EVENT_VALUE_QUANTILES = f"""WITH buckets AS (
+  SELECT event_type,
+         CASE WHEN value <= 0 THEN {_DD_ZERO_K}
+              ELSE CAST(CEIL(ROUND(LN(value) / LN({_DD_GAMMA!r}), 9)) AS BIGINT) END AS k,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT event_type, k, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY k) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM buckets
+)
+SELECT et.event_type, q,
+       CASE WHEN pick.k = {_DD_ZERO_K} THEN 0.0
+            ELSE ROUND(2.0 * POWER({_DD_GAMMA!r}, pick.k) / ({_DD_GAMMA!r} + 1.0), 2) END AS value_est,
+       CAST(pick.total AS BIGINT) AS n_rows
+FROM (SELECT DISTINCT event_type FROM events) et
+CROSS JOIN (VALUES (0.5), (0.95), (0.99)) t(q)
+JOIN LATERAL (
+  SELECT k, total FROM c
+  WHERE c.event_type = et.event_type AND cum >= CEIL(q * total)
+  ORDER BY k LIMIT 1
+) pick ON TRUE"""
+
+
 def q_event_asof_orders(sf_dir: str):
     """As-of join (an operator Ray Data lacks natively): each event matched
     to its user's most recent order at or before the event time, ties broken
