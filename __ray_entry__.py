@@ -69,7 +69,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dup_groups": Q.q_ngram_dup_groups,
         "cluster_city": Q.q_cluster_city,
         "cluster_copart": Q.q_cluster_copart,
-        "embed_dup_pairs": Q.q_embed_dup_pairs,
         "ann_topk": Q.q_ann_topk,
         "ivf_counts": Q.q_ivf_counts,
         "pip_join": Q.q_pip_join,
@@ -83,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curation_pipeline": Q.q_curation_pipeline,
         "snap_roads": Q.q_snap_roads,
         "event_value_quantiles": Q.q_event_value_quantiles,
+        "tfidf_terms": Q.q_tfidf_terms,
         "repetition_scores": Q.q_repetition_scores,
         "event_props_extract": Q.q_event_props_extract,
         "cross_snapshot_dedup": Q.q_cross_snapshot_dedup,
@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_counts": Q.q_tile_counts,
         "knn_copart": Q.q_knn_copart,
         "pip_join_indexed": Q.q_pip_join_indexed,
+        "embed_dup_pairs": Q.q_embed_dup_pairs,
     }
 
 
@@ -168,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_pipeline": Q.SQL_CURATION_PIPELINE,
         "snap_roads": Q.SQL_SNAP_ROADS,
         "event_value_quantiles": Q.SQL_EVENT_VALUE_QUANTILES,
+        "tfidf_terms": Q.SQL_TFIDF_TERMS,
         "ann_topk": Q.SQL_ANN_TOPK,
         "ivf_topk": Q.SQL_IVF_TOPK,
         "ivf_counts": Q.SQL_IVF_COUNTS,

@@ -2486,6 +2486,115 @@ FROM events, (VALUES (0), (1), (2), (3)) t(k)
 GROUP BY 1"""
 
 
+def q_tfidf_terms(sf_dir: str):
+    """TF-IDF signature terms per source: top-5 tokens by
+    ``tf * ln(N / df)`` (term frequency within the source, document
+    frequency corpus-wide), ties to the lexicographically smaller token.
+
+    Scale shape: one map pass emits per-batch PARTIAL (source, token)
+    term-frequency AND document-frequency counts (df partials are exact
+    because a document never spans batches); the shuffles all run over
+    aggregated counter rows — (source x vocab) then (vocab) then (source)
+    — never over token instances. N comes from parquet metadata (a
+    footer read, no data scan)."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq
+
+    N = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+    def partial(b: pa.Table) -> pa.Table:
+        src = b["source"].to_numpy(zero_copy_only=False)
+        toks = pc.utf8_split_whitespace(b["text"].combine_chunks())
+        counts = np.asarray(toks.value_lengths(), dtype=np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        src_of = np.repeat(src, counts)
+        doc_of = np.repeat(np.arange(b.num_rows, dtype=np.int64), counts)
+        keep = flat != ""
+        flat, src_of, doc_of = flat[keep], src_of[keep], doc_of[keep]
+        tok_w = max(1, max((len(t) for t in flat), default=1))
+        src_w = max(1, max((len(t) for t in src_of), default=1))
+        key = np.char.add(
+            np.char.add(src_of.astype(f"U{src_w}"), " "), flat.astype(f"U{tok_w}")
+        )
+        u_tf, c_tf = np.unique(key, return_counts=True)
+        # df partial: one count per (doc, key) pair
+        u_pair = np.unique(np.char.add(np.char.add(doc_of.astype("U20"), "\x02"), key))
+        dkey = np.char.partition(u_pair, "\x02")[:, 2]
+        u_df, c_df = np.unique(dkey, return_counts=True)
+        allk = np.union1d(u_tf, u_df)
+        tf = np.zeros(allk.size, dtype=np.int64)
+        dfp = np.zeros(allk.size, dtype=np.int64)
+        tf[np.searchsorted(allk, u_tf)] = c_tf
+        dfp[np.searchsorted(allk, u_df)] = c_df
+        return pa.table(
+            {
+                "st": pa.array(allk.tolist()),
+                "tf_partial": pa.array(tf),
+                "df_partial": pa.array(dfp),
+            }
+        )
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = coalesce_for_shuffle(parts).groupby("st").aggregate(
+        Sum("tf_partial", alias_name="tf"), Sum("df_partial", alias_name="dfp")
+    )
+
+    def split_key(b: pa.Table) -> pa.Table:
+        st = b["st"].to_numpy(zero_copy_only=False)
+        w = max(1, max((len(t) for t in st), default=1))
+        parts_ = np.char.partition(st.astype(f"U{w}"), " ")
+        return pa.table(
+            {
+                "source": pa.array(parts_[:, 0].tolist()),
+                "tok": pa.array(parts_[:, 2].tolist()),
+                "tf": b["tf"],
+                "dfp": b["dfp"],
+            }
+        )
+
+    def score_term(g):
+        df = int(g["dfp"].sum())
+        s = g.copy()
+        s["df"] = df
+        s["score"] = s["tf"].to_numpy() * np.log(N / np.float64(df))
+        return s[["source", "tok", "tf", "df", "score"]]
+
+    def topk(g):
+        g = g.sort_values(["score", "tok"], ascending=[False, True], kind="mergesort")
+        g = g.head(5).copy()
+        g["score"] = fixed_k.round_half_away(g["score"].to_numpy(), 6)
+        return g
+
+    scored = (
+        agg.map_batches(split_key, batch_format="pyarrow")
+        .groupby("tok")
+        .map_groups(score_term, batch_format="pandas")
+    )
+    return scored.groupby("source").map_groups(topk, batch_format="pandas")
+
+
+SQL_TFIDF_TERMS = """WITH toks AS (
+  SELECT doc_id, source, unnest([t FOR t IN string_split(text, ' ') IF t <> '']) AS tok
+  FROM documents
+), tf AS (
+  SELECT source, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+), n AS (SELECT count(*) AS nd FROM documents),
+scored AS (
+  SELECT source, tok, tf, df, tf * LN(nd / CAST(df AS DOUBLE)) AS score
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+)
+SELECT source, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       ROUND(score, 6) AS score
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, tok) <= 5"""
+
+
 def q_top_terms(sf_dir: str):
     """Vocabulary heavy hitters: top-10 whitespace tokens per language by
     count (ties to the lexicographically smaller token). Per-batch partial
