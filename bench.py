@@ -137,6 +137,11 @@ def bench_queries(sf_dir: str):
         "cross_snapshot_dedup": lambda: Q.q_cross_snapshot_dedup(sf_dir),
         "repetition_scores": lambda: Q.q_repetition_scores(sf_dir),
         "event_props_extract": lambda: Q.q_event_props_extract(sf_dir),
+        "contamination_flags": lambda: Q.q_contamination_flags(sf_dir),
+        "curation_pipeline": lambda: Q.q_curation_pipeline(sf_dir),
+        "snap_roads": lambda: Q.q_snap_roads(sf_dir),
+        "event_value_quantiles": lambda: Q.q_event_value_quantiles(sf_dir),
+        "tfidf_terms": lambda: Q.q_tfidf_terms(sf_dir),
     }
 
 
