@@ -61,21 +61,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- stable core: headline + round-3-changed pipelines ---
         "flagship": Q.q_flagship,
         "exact_dedup": Q.q_exact_dedup,
-        "minhash_pairs": Q.q_minhash_pairs,
         "minhash_pairs_joined": Q.q_minhash_pairs_joined,
         "doc_dup_components": Q.q_doc_dup_components,
-        "simhash": Q.q_simhash,
         "simhash_dup_pairs": Q.q_simhash_dup_pairs,
         "ngram_dup_groups": Q.q_ngram_dup_groups,
-        "cluster_city": Q.q_cluster_city,
         "cluster_copart": Q.q_cluster_copart,
         "ann_topk": Q.q_ann_topk,
         "ivf_counts": Q.q_ivf_counts,
         "pip_join": Q.q_pip_join,
         "pip_join_copart": Q.q_pip_join_copart,
         "knn_cities": Q.q_knn_cities,
-        "tile_pipeline": Q.q_tile_pipeline,
-        "tile_pipeline_salted": Q.q_tile_pipeline_salted,
         "fingerprints": Q.q_fingerprints,
         # --- new in round 3 ---
         "contamination_flags": Q.q_contamination_flags,
@@ -86,7 +81,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": Q.q_repetition_scores,
         "event_props_extract": Q.q_event_props_extract,
         "cross_snapshot_dedup": Q.q_cross_snapshot_dedup,
+        "event_gaps": Q.q_event_gaps,
+        "value_outliers": Q.q_value_outliers,
+        "group_sample": Q.q_group_sample,
+        "tile_density_smooth": Q.q_tile_density_smooth,
+        "vocab_stats": Q.q_vocab_stats,
         # --- tail (past the driver's 50-row cap): double-green in r1+r2 ---
+        "minhash_pairs": Q.q_minhash_pairs,
+        "simhash": Q.q_simhash,
+        "cluster_city": Q.q_cluster_city,
+        "tile_pipeline": Q.q_tile_pipeline,
+        "tile_pipeline_salted": Q.q_tile_pipeline_salted,
         "cell_ids": Q.q_cell_ids,
         "lang_id": Q.q_lang_id,
         "token_counts": Q.q_token_counts,
@@ -165,6 +170,11 @@ def oracle_sql() -> dict[str, str]:
         "repetition_scores": Q.SQL_REPETITION_SCORES,
         "event_props_extract": Q.SQL_EVENT_PROPS_EXTRACT,
         "cross_snapshot_dedup": Q.SQL_CROSS_SNAPSHOT_DEDUP,
+        "event_gaps": Q.SQL_EVENT_GAPS,
+        "value_outliers": Q.SQL_VALUE_OUTLIERS,
+        "group_sample": Q.SQL_GROUP_SAMPLE,
+        "tile_density_smooth": Q.SQL_TILE_DENSITY_SMOOTH,
+        "vocab_stats": Q.SQL_VOCAB_STATS,
         "contamination_flags": Q.SQL_CONTAMINATION_FLAGS,
         "curation_pipeline": Q.SQL_CURATION_PIPELINE,
         "snap_roads": Q.SQL_SNAP_ROADS,

@@ -142,6 +142,11 @@ def bench_queries(sf_dir: str):
         "snap_roads": lambda: Q.q_snap_roads(sf_dir),
         "event_value_quantiles": lambda: Q.q_event_value_quantiles(sf_dir),
         "tfidf_terms": lambda: Q.q_tfidf_terms(sf_dir),
+        "event_gaps": lambda: Q.q_event_gaps(sf_dir),
+        "value_outliers": lambda: Q.q_value_outliers(sf_dir),
+        "group_sample": lambda: Q.q_group_sample(sf_dir),
+        "tile_density_smooth": lambda: Q.q_tile_density_smooth(sf_dir),
+        "vocab_stats": lambda: Q.q_vocab_stats(sf_dir),
     }
 
 

@@ -3661,3 +3661,346 @@ SQL_SUPPLIER_REGION_COUNTS = """SELECT r.r_name, COUNT(*) AS n_suppliers
 FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
 GROUP BY r.r_name"""
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: event analytics, sampling, stencil smoothing, vocab
+# ---------------------------------------------------------------------------
+
+
+def q_event_gaps(sf_dir: str):
+    """Per-user inter-arrival gaps: n_gaps, exact sum and max gap (µs).
+
+    Scale shape mirrors ``q_event_sessions``: shuffle key is a LOW-cardinality
+    hash bucket of user_id (every row of a user co-locates), and each bucket
+    vectorizes over all of its users at once — lexsort by (user, ts), gap[i] =
+    ts[i] - ts[i-1] masked to same-user adjacencies, per-user sum/max via
+    ``np.add.reduceat`` / ``np.maximum.reduceat`` over user runs. Gaps of a
+    sorted multiset are permutation-invariant under ts ties, so the SQL LAG
+    twin (whose tie order is unspecified) is still deterministic. All outputs
+    are exact int64 — no float drift across partitionings."""
+    from geo_ray.stages.agg import default_num_blocks, hash_bucket_apply
+
+    nb = default_num_blocks()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.int64)
+        return b.append_column("bucket", pa.array((mix32_np(uid) % nb).astype(np.int64)))
+
+    def gaps_bucket(g):
+        import pandas as pd
+
+        user = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, user))
+        user, ts = user[order], ts[order]
+        new_user = np.ones(user.size, dtype=bool)
+        new_user[1:] = user[1:] != user[:-1]
+        gap = np.zeros(user.size, dtype=np.int64)
+        gap[1:] = np.where(new_user[1:], 0, ts[1:] - ts[:-1])
+        starts = np.flatnonzero(new_user)
+        run_len = np.diff(np.concatenate([starts, [user.size]]))
+        return pd.DataFrame(
+            {
+                "user_id": user[starts],
+                "n_gaps": run_len - 1,
+                "sum_gap_us": np.add.reduceat(gap, starts),
+                "max_gap_us": np.maximum.reduceat(gap, starts),
+            }
+        )
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_bucket_apply(ds, "bucket", gaps_bucket)
+
+
+SQL_EVENT_GAPS = """WITH d AS (
+  SELECT user_id,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+  FROM events
+)
+SELECT user_id, COUNT(gap_us) AS n_gaps,
+       CAST(COALESCE(SUM(gap_us), 0) AS BIGINT) AS sum_gap_us,
+       CAST(COALESCE(MAX(gap_us), 0) AS BIGINT) AS max_gap_us
+FROM d GROUP BY user_id"""
+
+
+def q_value_outliers(sf_dir: str):
+    """Per-type z-score outlier filter: events with value > mean + 2·σ of
+    their event_type.
+
+    Two streaming passes over the source (columns pruned both times):
+    pass 1 reduces each block to exact-integer cent moments per type —
+    (n, Σc, Σc² split into base-1e6 (quot, rem) partials so the int64 sums
+    hold 10^12 rows; same trick as ``pricing_summary``) — then a tiny
+    groupby whose result is O(#event_types) rows, a true scalar. The
+    thresholds are reconstructed from exact integers with a fixed IEEE
+    expression (sq/n - mean²), so the float threshold is bit-identical to
+    the DuckDB twin computing the same expression from HUGEINT sums. Pass 2
+    broadcasts the threshold dict and filters per batch. No driver-side
+    funnel: the only collected object is the per-type stats table."""
+    from ray.data.aggregate import Sum
+
+    M = 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        cents = fixed_k.round_half_away(b["value"].to_numpy() * 100.0, 0).astype(np.int64)
+        codes, idx = np.unique(et, return_inverse=True)
+        n = np.bincount(idx, minlength=codes.size).astype(np.int64)
+        sc = np.bincount(idx, weights=cents, minlength=codes.size).astype(np.int64)
+        sq = cents * cents
+        sq_q = np.bincount(idx, weights=sq // M, minlength=codes.size).astype(np.int64)
+        sq_r = np.bincount(idx, weights=sq % M, minlength=codes.size).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": pa.array(codes.tolist()),
+                "n": pa.array(n),
+                "sc": pa.array(sc),
+                "sq_q": pa.array(sq_q),
+                "sq_r": pa.array(sq_r),
+            }
+        )
+
+    rd = _rd()
+    stats = (
+        rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sc", alias_name="sc"),
+            Sum("sq_q", alias_name="sq_q"),
+            Sum("sq_r", alias_name="sq_r"),
+        )
+        .to_pandas()  # O(#event_types) rows — scalar-sized by construction
+    )
+    thr = {}
+    for _, r in stats.iterrows():
+        sq_exact = int(r.sq_q) * M + int(r.sq_r)  # exact python int, no wrap
+        mean = float(int(r.sc)) / float(int(r.n))
+        var = float(sq_exact) / float(int(r.n)) - mean * mean
+        thr[r.event_type] = mean + 2.0 * np.sqrt(max(var, 0.0))
+
+    def flag(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        cents = fixed_k.round_half_away(b["value"].to_numpy() * 100.0, 0)
+        codes, idx = np.unique(et, return_inverse=True)
+        lim = np.array([thr[t] for t in codes])[idx]
+        keep = cents > lim
+        return pa.table(
+            {
+                "event_id": pa.array(b["event_id"].to_numpy()[keep]),
+                "event_type": pa.array(et[keep].tolist()),
+                "value": pa.array(b["value"].to_numpy()[keep]),
+            }
+        )
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"])
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_VALUE_OUTLIERS = """WITH c AS (
+  SELECT event_id, event_type, value, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+), s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(cents) AS sc, SUM(cents * cents) AS sq
+  FROM c GROUP BY event_type
+), t AS (
+  SELECT event_type,
+         CAST(sc AS DOUBLE) / n + 2.0 * sqrt(GREATEST(
+           CAST(sq AS DOUBLE) / n - (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n), 0.0)) AS lim
+  FROM s
+)
+SELECT c.event_id, c.event_type, c.value
+FROM c JOIN t USING (event_type)
+WHERE CAST(c.cents AS DOUBLE) > t.lim"""
+
+
+def q_group_sample(sf_dir: str):
+    """Deterministic per-stratum top-5 sample: for each (lang, source) pick
+    the 5 docs with the smallest (mix32(doc_id), doc_id) — a seedable,
+    shuffle-light alternative to reservoir sampling.
+
+    Per-batch partial top-5 per stratum collapses every block to ≤ 5·|strata|
+    rows BEFORE the shuffle, so the groupby moves candidate rows only, never
+    the corpus. Final selection is the same vectorized rank-within-run pass
+    over the tiny grouped table."""
+
+    def _top5(lang, source, doc_id, h):
+        w_l = max(1, max((len(t) for t in lang), default=1))
+        w_s = max(1, max((len(t) for t in source), default=1))
+        key = np.char.add(np.char.add(lang.astype(f"U{w_l}"), "|"), source.astype(f"U{w_s}"))
+        order = np.lexsort((doc_id, h, key))
+        key, doc_id, h = key[order], doc_id[order], h[order]
+        lang, source = lang[order], source[order]
+        new = np.ones(key.size, dtype=bool)
+        new[1:] = key[1:] != key[:-1]
+        starts = np.flatnonzero(new)
+        rank = np.arange(key.size) - np.repeat(starts, np.diff(np.concatenate([starts, [key.size]])))
+        keep = rank < 5
+        return lang[keep], source[keep], doc_id[keep], h[keep]
+
+    def partial(b: pa.Table) -> pa.Table:
+        lang = b["lang"].to_numpy(zero_copy_only=False)
+        source = b["source"].to_numpy(zero_copy_only=False)
+        doc_id = b["doc_id"].to_numpy().astype(np.int64)
+        h = mix32_np(doc_id)
+        if lang.size == 0:
+            return pa.table({"lang": pa.array([], pa.string()), "source": pa.array([], pa.string()),
+                             "doc_id": pa.array([], pa.int64()), "h": pa.array([], pa.int64())})
+        lang, source, doc_id, h = _top5(lang, source, doc_id, h)
+        return pa.table(
+            {"lang": pa.array(lang.tolist()), "source": pa.array(source.tolist()),
+             "doc_id": pa.array(doc_id), "h": pa.array(h.astype(np.int64))}
+        )
+
+    def finish(g):
+        import pandas as pd
+
+        lang = g["lang"].to_numpy()
+        source = g["source"].to_numpy()
+        doc_id = g["doc_id"].to_numpy().astype(np.int64)
+        h = g["h"].to_numpy().astype(np.int64)
+        lang, source, doc_id, _ = _top5(lang, source, doc_id, h)
+        return pd.DataFrame({"lang": lang, "source": source, "doc_id": doc_id})
+
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"])
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return coalesce_for_shuffle(ds, 8).groupby("lang").map_groups(finish, batch_format="pandas")
+
+
+SQL_GROUP_SAMPLE = f"""SELECT lang, source, doc_id FROM (
+  SELECT lang, source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY {mix32_sql('doc_id')}, doc_id) AS rnk
+  FROM documents
+) WHERE rnk <= 5"""
+
+
+def q_tile_density_smooth(sf_dir: str):
+    """3×3 neighborhood-smoothed z8 tile density (the heatmap-rendering
+    stencil): for every occupied tile, n_smooth = Σ counts over its in-grid
+    Moore neighborhood, n_points = its own count.
+
+    Distributed stencil via scatter-gather: per-batch PARTIAL tile counts
+    (sum is linear, so partials scatter correctly) are replicated to their
+    ≤ 9 in-grid neighbor positions with an `own` weight on the center copy,
+    then ONE groupby sums both weights — a single shuffle whose volume is
+    9× the partial-count rows (bounded by 9·4^8 per block), never 9× the
+    points. Tiles with n_points = 0 are dropped after the reduce."""
+    from ray.data.aggregate import Sum
+
+    def scatter(b: pa.Table) -> pa.Table:
+        from geo_ray.kernels import tile as tile_k
+
+        tx, ty = tile_k.latlng_tile(b["lat"].to_numpy(), b["lng"].to_numpy(), 8)
+        tid = tx * 100000 + ty
+        u, c = np.unique(tid, return_counts=True)
+        utx, uty = u // 100000, u % 100000
+        out_t, out_w, out_o = [], [], []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nx, ny = utx + dx, uty + dy
+                ok = (nx >= 0) & (nx < 256) & (ny >= 0) & (ny < 256)
+                out_t.append(nx[ok] * 100000 + ny[ok])
+                out_w.append(c[ok])
+                out_o.append(c[ok] if (dx == 0 and dy == 0) else np.zeros(ok.sum(), dtype=np.int64))
+        return pa.table(
+            {
+                "tile_id": pa.array(np.concatenate(out_t).astype(np.int64)),
+                "w": pa.array(np.concatenate(out_w).astype(np.int64)),
+                "own": pa.array(np.concatenate(out_o).astype(np.int64)),
+            }
+        )
+
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
+    ds = points_ds(sf_dir).map_batches(scatter, batch_format="pyarrow", zero_copy_batch=True)
+    agg = coalesce_for_shuffle(ds).groupby("tile_id").aggregate(
+        Sum("w", alias_name="n_smooth"), Sum("own", alias_name="n_points")
+    )
+    return agg.filter(expr="n_points > 0")
+
+
+SQL_TILE_DENSITY_SMOOTH = f"""{POINTS_CTE},
+counts AS (
+  SELECT ({sql_pixel_x('lng', 8, 4096)} // 4096) * 100000 + ({sql_pixel_y('lat', 8, 4096)} // 4096) AS tile_id,
+         COUNT(*) AS n
+  FROM points GROUP BY 1
+), offs(dx, dy) AS (
+  VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+), sc AS (
+  SELECT ((tile_id // 100000) + dx) * 100000 + ((tile_id % 100000) + dy) AS tgt,
+         n, CASE WHEN dx = 0 AND dy = 0 THEN n ELSE 0 END AS own
+  FROM counts CROSS JOIN offs
+  WHERE (tile_id // 100000) + dx BETWEEN 0 AND 255
+    AND (tile_id % 100000) + dy BETWEEN 0 AND 255
+)
+SELECT tgt AS tile_id, CAST(SUM(n) AS BIGINT) AS n_smooth, CAST(SUM(own) AS BIGINT) AS n_points
+FROM sc GROUP BY tgt HAVING SUM(own) > 0"""
+
+
+def q_vocab_stats(sf_dir: str):
+    """Per-source vocabulary profile: total tokens, distinct tokens, and
+    type-token ratio (rounded 6 dp both sides).
+
+    Same shuffle shape as ``q_top_terms``: per-batch partial (source, token)
+    counts off the flat Arrow string buffer collapse every block before the
+    one (source|token)-keyed groupby; the per-source finish is a second tiny
+    groupby over |vocab| rows."""
+    from ray.data.aggregate import Count, Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        source = b["source"].to_numpy(zero_copy_only=False)
+        toks = pc.utf8_split_whitespace(b["text"].combine_chunks())
+        counts = np.asarray(toks.value_lengths(), dtype=np.int64)
+        flat = toks.flatten().to_numpy(zero_copy_only=False)
+        src_of = np.repeat(source, counts)
+        keep = flat != ""
+        flat, src_of = flat[keep], src_of[keep]
+        tok_w = max(1, max((len(t) for t in flat), default=1))
+        src_w = max(1, max((len(t) for t in src_of), default=1))
+        key = np.char.add(np.char.add(src_of.astype(f"U{src_w}"), " "), flat.astype(f"U{tok_w}"))
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({"st": pa.array(u.tolist()), "n_partial": pa.array(cnt.astype(np.int64))})
+
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "text"])
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    per_tok = coalesce_for_shuffle(ds).groupby("st").aggregate(Sum("n_partial", alias_name="n"))
+
+    def split_src(b: pa.Table) -> pa.Table:
+        st = b["st"].to_numpy(zero_copy_only=False)
+        w = max(1, max((len(t) for t in st), default=1))
+        parts = np.char.partition(st.astype(f"U{w}"), " ")
+        return pa.table({"source": pa.array(parts[:, 0].tolist()), "n": b["n"]})
+
+    agg = (
+        per_tok.map_batches(split_src, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n_tokens"), Count(alias_name="n_distinct"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        nt = b["n_tokens"].to_numpy().astype(np.int64)
+        nd = b["n_distinct"].to_numpy().astype(np.int64)
+        ttr = fixed_k.round_half_away(nd * 1.0 / nt, 6)
+        return pa.table(
+            {"source": b["source"], "n_tokens": pa.array(nt), "n_distinct": pa.array(nd),
+             "ttr": pa.array(ttr)}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+SQL_VOCAB_STATS = r"""WITH toks AS (
+  SELECT source, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents
+), g AS (
+  SELECT source, tok, COUNT(*) AS n FROM toks GROUP BY source, tok
+)
+SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+       ROUND(COUNT(*) * 1.0 / SUM(n), 6) AS ttr
+FROM g GROUP BY source"""

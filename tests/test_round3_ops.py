@@ -1,0 +1,110 @@
+"""Round-3 analytics ops: gaps, outliers, stratified top-k sample, tile
+stencil smoothing, vocabulary stats — each pinned against an independent
+brute-force / reference computation at sf0.001 (the DuckDB oracles cover
+sf0.01; these pin the semantics against a second, non-SQL derivation and
+partitioning invariance)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_event_gaps_matches_pandas_brute(ray_session):
+    from geo_ray.pipelines import queries as Q
+
+    got = (
+        Q.q_event_gaps(SF).to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["user_id", "ts"]).to_pandas()
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        d = np.diff(np.sort(g["us"].to_numpy()))
+        rows.append(
+            {
+                "user_id": uid,
+                "n_gaps": len(d),
+                "sum_gap_us": int(d.sum()) if len(d) else 0,
+                "max_gap_us": int(d.max()) if len(d) else 0,
+            }
+        )
+    want = pd.DataFrame(rows).sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(want.dtypes.to_dict()), want)
+
+
+def test_value_outliers_thresholds_partition_invariant(ray_session):
+    """The flagged set must be identical to a single-process exact-integer
+    computation — proves the (quot, rem) moment split introduces no float
+    drift under Ray's arbitrary partitioning."""
+    from geo_ray.pipelines import queries as Q
+
+    got = Q.q_value_outliers(SF).to_pandas()
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    cents = np.round(ev["value"].to_numpy() * 100.0).astype(np.int64)
+    flagged = set()
+    for et in ev["event_type"].unique():
+        m = (ev["event_type"] == et).to_numpy()
+        c = cents[m]
+        mean = float(int(c.sum())) / len(c)
+        var = float(sum(int(x) * int(x) for x in c)) / len(c) - mean * mean
+        lim = mean + 2.0 * np.sqrt(max(var, 0.0))
+        flagged |= set(ev["event_id"].to_numpy()[m][c > lim].tolist())
+    assert set(got["event_id"].astype(int)) == flagged
+
+
+def test_group_sample_is_stratum_top5_and_deterministic(ray_session):
+    from geo_ray.pipelines import queries as Q
+
+    got = Q.q_group_sample(SF).to_pandas()
+    docs = pq.read_table(
+        f"{SF}/documents.parquet", columns=["doc_id", "lang", "source"]
+    ).to_pandas()
+    h = Q.mix32_np(docs["doc_id"].to_numpy())
+    docs = docs.assign(h=h)
+    want = (
+        docs.sort_values(["h", "doc_id"])
+        .groupby(["lang", "source"], sort=False)
+        .head(5)[["lang", "source", "doc_id"]]
+    )
+    key = lambda df: sorted(map(tuple, df[["lang", "source", "doc_id"]].to_numpy()))
+    assert key(got) == key(want)
+    # deterministic across runs
+    again = Q.q_group_sample(SF).to_pandas()
+    assert key(again) == key(got)
+
+
+def test_tile_density_smooth_matches_dense_convolution(ray_session):
+    """Scatter-gather stencil == dense 3x3 box filter over the z8 grid."""
+    from geo_ray.pipelines import queries as Q
+
+    got = Q.q_tile_density_smooth(SF).to_pandas()
+    counts = Q.q_tile_counts(SF).to_pandas()
+    grid = np.zeros((256, 256), dtype=np.int64)
+    for tid, n in zip(counts["tile_id"], counts["n_points"]):
+        grid[tid // 100000, tid % 100000] = n
+    p = np.pad(grid, 1)
+    smooth = sum(
+        p[1 + dx : 257 + dx, 1 + dy : 257 + dy] for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+    )
+    want = {
+        int(tx) * 100000 + int(ty): (int(smooth[tx, ty]), int(grid[tx, ty]))
+        for tx, ty in zip(*np.nonzero(grid))
+    }
+    gotmap = {
+        int(r.tile_id): (int(r.n_smooth), int(r.n_points)) for r in got.itertuples()
+    }
+    assert gotmap == want
+
+
+def test_vocab_stats_matches_python_brute(ray_session):
+    from geo_ray.pipelines import queries as Q
+
+    got = Q.q_vocab_stats(SF).to_pandas().set_index("source")
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["source", "text"]).to_pandas()
+    for src, g in docs.groupby("source"):
+        toks = [t for txt in g["text"] for t in txt.split()]
+        assert int(got.loc[src, "n_tokens"]) == len(toks)
+        assert int(got.loc[src, "n_distinct"]) == len(set(toks))
+        assert abs(got.loc[src, "ttr"] - round(len(set(toks)) / len(toks), 6)) < 1e-9
