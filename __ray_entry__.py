@@ -66,9 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": Q.q_simhash_dup_pairs,
         "ngram_dup_groups": Q.q_ngram_dup_groups,
         "cluster_copart": Q.q_cluster_copart,
-        "ann_topk": Q.q_ann_topk,
         "ivf_counts": Q.q_ivf_counts,
-        "pip_join": Q.q_pip_join,
         "pip_join_copart": Q.q_pip_join_copart,
         "knn_cities": Q.q_knn_cities,
         "fingerprints": Q.q_fingerprints,
@@ -86,9 +84,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_sample": Q.q_group_sample,
         "tile_density_smooth": Q.q_tile_density_smooth,
         "vocab_stats": Q.q_vocab_stats,
+        "polygon_metrics": Q.q_polygon_metrics,
+        "dup_degree_hist": Q.q_dup_degree_hist,
         # --- tail (past the driver's 50-row cap): double-green in r1+r2 ---
         "minhash_pairs": Q.q_minhash_pairs,
         "simhash": Q.q_simhash,
+        "ann_topk": Q.q_ann_topk,
+        "pip_join": Q.q_pip_join,
         "cluster_city": Q.q_cluster_city,
         "tile_pipeline": Q.q_tile_pipeline,
         "tile_pipeline_salted": Q.q_tile_pipeline_salted,
@@ -175,6 +177,8 @@ def oracle_sql() -> dict[str, str]:
         "group_sample": Q.SQL_GROUP_SAMPLE,
         "tile_density_smooth": Q.SQL_TILE_DENSITY_SMOOTH,
         "vocab_stats": Q.SQL_VOCAB_STATS,
+        "polygon_metrics": Q.SQL_POLYGON_METRICS,
+        "dup_degree_hist": Q.SQL_DUP_DEGREE_HIST,
         "contamination_flags": Q.SQL_CONTAMINATION_FLAGS,
         "curation_pipeline": Q.SQL_CURATION_PIPELINE,
         "snap_roads": Q.SQL_SNAP_ROADS,

@@ -147,6 +147,8 @@ def bench_queries(sf_dir: str):
         "group_sample": lambda: Q.q_group_sample(sf_dir),
         "tile_density_smooth": lambda: Q.q_tile_density_smooth(sf_dir),
         "vocab_stats": lambda: Q.q_vocab_stats(sf_dir),
+        "polygon_metrics": lambda: Q.q_polygon_metrics(sf_dir),
+        "dup_degree_hist": lambda: Q.q_dup_degree_hist(sf_dir),
     }
 
 

@@ -4004,3 +4004,159 @@ SQL_VOCAB_STATS = r"""WITH toks AS (
 SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
        ROUND(COUNT(*) * 1.0 / SUM(n), 6) AS ttr
 FROM g GROUP BY source"""
+
+
+def q_polygon_metrics(sf_dir: str):
+    """Per-polygon geometry metrics over the derived area set: vertex count,
+    EXACT planar shoelace area in micro-degree² fixed-point, and haversine
+    perimeter (m, rounded).
+
+    Parity design: the ring vertices are 6-dp literals, so scaling by 1e6
+    gives exact int64 micro-degrees and the shoelace sum
+    |Σ (x_i·y_{i+1} − x_{i+1}·y_i)| is PURE integer arithmetic — bit-equal
+    in NumPy and DuckDB with no projection or rounding step (products stay
+    < 2^53·1e2, sums of 6 terms < 2^63). The perimeter rounds each haversine
+    edge to 3 dp on both sides before the sum, then the sum to 2 dp
+    (established transcendental-parity pattern).
+
+    Scale shape: vertices co-locate per polygon through a hash-bucketed
+    shuffle and every bucket computes all of its polygons vectorized —
+    lexsort by (area_id, vtx_idx), wrap-around neighbor via per-run roll,
+    ``np.add.reduceat`` per run. Millions of polygons stream through the
+    same plan; nothing is per-polygon Python."""
+    from geo_ray.stages.agg import default_num_blocks, hash_bucket_apply
+
+    polys = derive.many_polygons(200)
+    area_id = np.repeat([k for k, _ in polys], [len(r) for _, r in polys]).astype(np.int64)
+    vtx_idx = np.concatenate([np.arange(len(r)) for _, r in polys]).astype(np.int64)
+    lat = np.array([p[0] for _, r in polys for p in r])
+    lng = np.array([p[1] for _, r in polys for p in r])
+    vert = pa.table(
+        {"area_id": pa.array(area_id), "vtx_idx": pa.array(vtx_idx),
+         "lat": pa.array(lat), "lng": pa.array(lng)}
+    )
+    nb = default_num_blocks()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        aid = b["area_id"].to_numpy().astype(np.int64)
+        return b.append_column("bucket", pa.array((mix32_np(aid) % nb).astype(np.int64)))
+
+    def metrics_bucket(g):
+        import pandas as pd
+
+        aid = g["area_id"].to_numpy().astype(np.int64)
+        if aid.size == 0:
+            return pd.DataFrame(
+                {"area_id": aid, "n_vertices": aid, "area_udeg2": aid,
+                 "perimeter_m": aid.astype(np.float64)}
+            )
+        vi = g["vtx_idx"].to_numpy().astype(np.int64)
+        la, ln = g["lat"].to_numpy(), g["lng"].to_numpy()
+        order = np.lexsort((vi, aid))
+        aid, la, ln = aid[order], la[order], ln[order]
+        x = fixed_k.round_half_away(ln * 1e6, 0).astype(np.int64)
+        y = fixed_k.round_half_away(la * 1e6, 0).astype(np.int64)
+        new = np.ones(aid.size, dtype=bool)
+        new[1:] = aid[1:] != aid[:-1]
+        starts = np.flatnonzero(new)
+        run_len = np.diff(np.concatenate([starts, [aid.size]]))
+        # wrap-around successor index within each run
+        nxt = np.arange(aid.size) + 1
+        nxt[np.concatenate([starts[1:], [aid.size]]) - 1] = starts
+        cross = x * y[nxt] - x[nxt] * y
+        area2 = np.abs(np.add.reduceat(cross, starts))
+        # exact-int millimeter edges: the SUM of rounded doubles can land on a
+        # half-boundary of the final round and flip the last digit between
+        # NumPy and DuckDB; integer sums cannot (both sides then divide the
+        # IDENTICAL int64 by 1000.0)
+        edge_mm = fixed_k.round_half_away(
+            dist_k.haversine(la, ln, la[nxt], ln[nxt]) * 1000.0, 0
+        ).astype(np.int64)
+        perim = np.add.reduceat(edge_mm, starts) / 1000.0
+        return pd.DataFrame(
+            {"area_id": aid[starts], "n_vertices": run_len,
+             "area_udeg2": area2, "perimeter_m": perim}
+        )
+
+    ds = _rd().from_arrow(vert)
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_bucket_apply(ds, "bucket", metrics_bucket)
+
+
+def _polygon_vertices_sql() -> str:
+    rows = []
+    for k, ring in derive.many_polygons(200):
+        for j, (plat, plng) in enumerate(ring):
+            rows.append(f"({k}, {j}, CAST({plat!r} AS DOUBLE), CAST({plng!r} AS DOUBLE))")
+    return ",\n  ".join(rows)
+
+
+SQL_POLYGON_METRICS = f"""WITH v(area_id, vtx_idx, lat, lng) AS (VALUES
+  {_polygon_vertices_sql()}
+), f AS (
+  SELECT area_id, vtx_idx, lat, lng,
+         CAST(ROUND(lng * 1e6) AS BIGINT) AS x, CAST(ROUND(lat * 1e6) AS BIGINT) AS y
+  FROM v
+), e AS (
+  SELECT area_id, lat, lng, x, y,
+         COALESCE(LEAD(x)    OVER w, FIRST_VALUE(x)   OVER w2) AS nx,
+         COALESCE(LEAD(y)    OVER w, FIRST_VALUE(y)   OVER w2) AS ny,
+         COALESCE(LEAD(lat)  OVER w, FIRST_VALUE(lat) OVER w2) AS nlat,
+         COALESCE(LEAD(lng)  OVER w, FIRST_VALUE(lng) OVER w2) AS nlng
+  FROM f
+  WINDOW w AS (PARTITION BY area_id ORDER BY vtx_idx),
+         w2 AS (PARTITION BY area_id ORDER BY vtx_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT area_id, COUNT(*) AS n_vertices,
+       CAST(ABS(SUM(x * ny - nx * y)) AS BIGINT) AS area_udeg2,
+       CAST(SUM(CAST(ROUND({sql_haversine('lat', 'lng', 'nlat', 'nlng')} * 1000.0) AS BIGINT)) AS DOUBLE) / 1000.0 AS perimeter_m
+FROM e GROUP BY area_id"""
+
+
+def q_dup_degree_hist(sf_dir: str):
+    """Degree distribution of the embedding near-duplicate graph: for every
+    vector appearing in a ≥0.4-cosine pair, its pair count, histogrammed.
+
+    Two pair-bounded shuffles compose over ``q_embed_dup_pairs``: per-batch
+    partial endpoint counts → groupby(vec) sum = degree, then per-batch
+    partial degree counts → groupby(degree) sum. The corpus never reshuffles
+    — only pair endpoints (the dup graph is sparse by construction at any
+    scale where dedup is meaningful)."""
+    from ray.data.aggregate import Sum
+
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
+    pairs = q_embed_dup_pairs(sf_dir)
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        both = np.concatenate([b["vec_a"].to_numpy(), b["vec_b"].to_numpy()]).astype(np.int64)
+        u, c = np.unique(both, return_counts=True)
+        return pa.table({"vec_id": pa.array(u), "n_partial": pa.array(c.astype(np.int64))})
+
+    deg = (
+        coalesce_for_shuffle(
+            pairs.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("vec_id")
+        .aggregate(Sum("n_partial", alias_name="degree"))
+    )
+
+    def hist_partial(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b["degree"].to_numpy().astype(np.int64), return_counts=True)
+        return pa.table({"degree": pa.array(u), "n_partial": pa.array(c.astype(np.int64))})
+
+    return (
+        coalesce_for_shuffle(deg.map_batches(hist_partial, batch_format="pyarrow"), 8)
+        .groupby("degree")
+        .aggregate(Sum("n_partial", alias_name="n_vecs"))
+    )
+
+
+SQL_DUP_DEGREE_HIST = f"""WITH pairs AS ({SQL_EMBED_DUP_PAIRS}),
+deg AS (
+  SELECT vec_id, COUNT(*) AS degree FROM (
+    SELECT vec_a AS vec_id FROM pairs UNION ALL SELECT vec_b AS vec_id FROM pairs
+  ) GROUP BY vec_id
+)
+SELECT degree, COUNT(*) AS n_vecs FROM deg GROUP BY degree"""

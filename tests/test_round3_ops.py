@@ -108,3 +108,55 @@ def test_vocab_stats_matches_python_brute(ray_session):
         assert int(got.loc[src, "n_tokens"]) == len(toks)
         assert int(got.loc[src, "n_distinct"]) == len(set(toks))
         assert abs(got.loc[src, "ttr"] - round(len(set(toks)) / len(toks), 6)) < 1e-9
+
+
+def test_polygon_metrics_matches_fraction_shoelace(ray_session):
+    """Exact-rational shoelace + independent edge-loop perimeter."""
+    from fractions import Fraction
+
+    from geo_ray.kernels import distance as dist_k
+    from geo_ray.pipelines import queries as Q
+    from geo_ray.sources import derive
+
+    got = Q.q_polygon_metrics(SF).to_pandas().set_index("area_id")
+    for k, ring in derive.many_polygons(200):
+        n = len(ring)
+        xs = [Fraction(round(lng * 1e6)) for _, lng in ring]
+        ys = [Fraction(round(lat * 1e6)) for lat, _ in ring]
+        area2 = abs(
+            sum(xs[i] * ys[(i + 1) % n] - xs[(i + 1) % n] * ys[i] for i in range(n))
+        )
+        perim_mm = sum(
+            round(
+                float(
+                    dist_k.haversine(
+                        np.array([ring[i][0]]), np.array([ring[i][1]]),
+                        np.array([ring[(i + 1) % n][0]]), np.array([ring[(i + 1) % n][1]]),
+                    )[0]
+                )
+                * 1000.0
+            )
+            for i in range(n)
+        )
+        row = got.loc[k]
+        assert int(row.n_vertices) == n
+        assert int(row.area_udeg2) == int(area2)
+        assert abs(row.perimeter_m - perim_mm / 1000.0) < 1e-9
+
+
+def test_dup_degree_hist_matches_pair_brute(ray_session):
+    from collections import Counter
+
+    from geo_ray.pipelines import queries as Q
+
+    got = {
+        int(r.degree): int(r.n_vecs)
+        for r in Q.q_dup_degree_hist(SF).to_pandas().itertuples()
+    }
+    pairs = Q.q_embed_dup_pairs(SF).to_pandas()
+    deg = Counter()
+    for r in pairs.itertuples():
+        deg[int(r.vec_a)] += 1
+        deg[int(r.vec_b)] += 1
+    want = Counter(deg.values())
+    assert got == dict(want)
