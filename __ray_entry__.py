@@ -66,7 +66,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": Q.q_simhash_dup_pairs,
         "ngram_dup_groups": Q.q_ngram_dup_groups,
         "cluster_copart": Q.q_cluster_copart,
-        "ivf_counts": Q.q_ivf_counts,
         "pip_join_copart": Q.q_pip_join_copart,
         "knn_cities": Q.q_knn_cities,
         "fingerprints": Q.q_fingerprints,
@@ -86,10 +85,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_stats": Q.q_vocab_stats,
         "polygon_metrics": Q.q_polygon_metrics,
         "dup_degree_hist": Q.q_dup_degree_hist,
+        "kmeans_iterate": Q.q_kmeans_iterate,
         # --- tail (past the driver's 50-row cap): double-green in r1+r2 ---
         "minhash_pairs": Q.q_minhash_pairs,
         "simhash": Q.q_simhash,
         "ann_topk": Q.q_ann_topk,
+        "ivf_counts": Q.q_ivf_counts,
         "pip_join": Q.q_pip_join,
         "cluster_city": Q.q_cluster_city,
         "tile_pipeline": Q.q_tile_pipeline,
@@ -179,6 +180,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_stats": Q.SQL_VOCAB_STATS,
         "polygon_metrics": Q.SQL_POLYGON_METRICS,
         "dup_degree_hist": Q.SQL_DUP_DEGREE_HIST,
+        "kmeans_iterate": Q.SQL_KMEANS_ITERATE,
         "contamination_flags": Q.SQL_CONTAMINATION_FLAGS,
         "curation_pipeline": Q.SQL_CURATION_PIPELINE,
         "snap_roads": Q.SQL_SNAP_ROADS,

@@ -149,6 +149,7 @@ def bench_queries(sf_dir: str):
         "vocab_stats": lambda: Q.q_vocab_stats(sf_dir),
         "polygon_metrics": lambda: Q.q_polygon_metrics(sf_dir),
         "dup_degree_hist": lambda: Q.q_dup_degree_hist(sf_dir),
+        "kmeans_iterate": lambda: Q.q_kmeans_iterate(sf_dir),
     }
 
 

@@ -4160,3 +4160,119 @@ deg AS (
   ) GROUP BY vec_id
 )
 SELECT degree, COUNT(*) AS n_vecs FROM deg GROUP BY degree"""
+
+
+def q_kmeans_iterate(sf_dir: str, iters: int = 2):
+    """Distributed k-means (Lloyd) over the embedding table: ``iters`` full
+    assign→update rounds starting from the deterministic seed centroids,
+    returning the final per-centroid per-dim means.
+
+    Iterative-algorithm shape on Ray Data: each round is ONE streaming pass —
+    every batch assigns its vectors to the nearest (cosine) current centroid
+    and collapses to a (16×64) partial-sum matrix + counts; the tiny partials
+    tree-combine and only the O(k·d) model state ever reaches the driver,
+    which broadcasts it into the next round's closure. The corpus is re-read
+    each round (k-means is inherently multi-pass) and never materializes.
+
+    Oracle parity: each round's means are rounded to 6 dp BEFORE becoming the
+    next round's centroids, so the SQL twin (the loop unrolled into CTEs with
+    the identical rounding) feeds bit-identical centroid literals into every
+    round — float error cannot compound across iterations. Ties in the argmax
+    go to the lower centroid id on both sides. Raises if any centroid empties
+    (the SQL twin would silently drop it; this corpus keeps all 16 occupied)."""
+    from geo_ray.stages import ann as ann_st
+
+    N_CENT, DIM = 16, 64
+    cents = ann_st.query_matrix(N_CENT)
+    rd = _rd()
+
+    def combine(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy()
+        s = b["s"].to_numpy()
+        n = b["n"].to_numpy()
+        order = np.argsort(k, kind="mergesort")
+        k, s, n = k[order], s[order], n[order]
+        u, starts = np.unique(k, return_index=True)
+        return pa.table(
+            {"key": pa.array(u), "s": pa.array(np.add.reduceat(s, starts)),
+             "n": pa.array(np.add.reduceat(n, starts))}
+        )
+
+    for _ in range(iters):
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+        def partial(b: pa.Table, cn=cn) -> pa.Table:
+            v = ann_st._embeddings_to_matrix(b["embedding"])
+            norms = np.sqrt((v * v).sum(axis=1))
+            norms[norms == 0] = 1.0
+            cent = np.argmax((v / norms[:, None]) @ cn.T, axis=1)
+            sums = np.zeros((N_CENT, DIM), dtype=np.float64)
+            np.add.at(sums, cent, v)
+            counts = np.bincount(cent, minlength=N_CENT).astype(np.int64)
+            cid = np.repeat(np.arange(N_CENT, dtype=np.int64), DIM)
+            dim = np.tile(np.arange(DIM, dtype=np.int64), N_CENT)
+            return pa.table(
+                {"key": pa.array(cid * DIM + dim), "s": pa.array(sums.ravel()),
+                 "n": pa.array(np.repeat(counts, DIM))}
+            )
+
+        parts = (
+            rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .repartition(4)
+            .map_batches(combine, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+            .repartition(1)
+            .map_batches(combine, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        )
+        t = parts.take_all()  # exactly k*d rows — the model state, O(1024)
+        s = np.zeros(N_CENT * DIM)
+        n = np.zeros(N_CENT * DIM, dtype=np.int64)
+        for row in t:
+            s[row["key"]] = row["s"]
+            n[row["key"]] = row["n"]
+        counts = n.reshape(N_CENT, DIM)[:, 0]
+        if not (counts > 0).all():
+            raise RuntimeError(f"k-means centroid emptied: counts={counts.tolist()}")
+        cents = fixed_k.round_half_away(s.reshape(N_CENT, DIM) / counts[:, None], 6)
+
+    cid = np.repeat(np.arange(N_CENT, dtype=np.int64), DIM)
+    dim = np.tile(np.arange(DIM, dtype=np.int64), N_CENT)
+    return pa.table(
+        {"centroid_id": pa.array(cid), "dim": pa.array(dim),
+         "mean_v": pa.array(cents.ravel())}
+    )
+
+
+def _sql_kmeans(iters: int = 2) -> str:
+    seed_rel = " UNION ALL ".join(
+        f"SELECT {cid} AS centroid_id, {_sql_centroid_vec(cid)} AS cvec" for cid in range(16)
+    )
+    sql = (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),\n"
+        f"c0 AS ({seed_rel})"
+    )
+    prev = "c0"
+    for it in range(iters):
+        sql += f""",
+a{it} AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY list_cosine_similarity(e.v, c.cvec) DESC,
+                                       c.centroid_id) AS rnk
+    FROM e, {prev} c
+  ) WHERE rnk = 1
+),
+m{it} AS (
+  SELECT centroid_id, dim, ROUND(AVG(val), 6) AS mean_v FROM (
+    SELECT centroid_id, unnest(v) AS val, unnest(range(64)) AS dim FROM a{it}
+  ) GROUP BY centroid_id, dim
+),
+c{it + 1} AS (
+  SELECT centroid_id, list(mean_v ORDER BY dim) AS cvec FROM m{it} GROUP BY centroid_id
+)"""
+        prev = f"c{it + 1}"
+    return sql + f"\nSELECT centroid_id, dim, mean_v FROM m{iters - 1}"
+
+
+SQL_KMEANS_ITERATE = _sql_kmeans(2)

@@ -160,3 +160,37 @@ def test_dup_degree_hist_matches_pair_brute(ray_session):
         deg[int(r.vec_b)] += 1
     want = Counter(deg.values())
     assert got == dict(want)
+
+
+def test_kmeans_iterate_matches_single_process_lloyd(ray_session):
+    """Two distributed Lloyd rounds == a sequential NumPy k-means with the
+    same per-round 6-dp centroid rounding; round 1 equals ivf_centroid_means."""
+    from geo_ray.kernels import fixed as fixed_k
+    from geo_ray.pipelines import queries as Q
+    from geo_ray.stages import ann as ann_st
+
+    got = Q.q_kmeans_iterate(SF, iters=2).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["embedding"])
+    v = ann_st._embeddings_to_matrix(t["embedding"])
+    norms = np.sqrt((v * v).sum(axis=1))
+    norms[norms == 0] = 1.0
+    vn = v / norms[:, None]
+    cents = ann_st.query_matrix(16)
+    for _ in range(2):
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        assign = np.argmax(vn @ cn.T, axis=1)
+        means = np.zeros((16, 64))
+        np.add.at(means, assign, v)
+        counts = np.bincount(assign, minlength=16)
+        assert (counts > 0).all()
+        cents = fixed_k.round_half_away(means / counts[:, None], 6)
+    want = cents.ravel()
+    got = got.sort_values(["centroid_id", "dim"])
+    np.testing.assert_allclose(got["mean_v"].to_numpy(), want, atol=1e-9)
+
+    # round 1 must equal the one-step ivf_centroid_means query
+    one = Q.q_ivf_centroid_means(SF).to_pandas().sort_values(["centroid_id", "dim"])
+    g1 = Q.q_kmeans_iterate(SF, iters=1).to_pandas().sort_values(["centroid_id", "dim"])
+    np.testing.assert_allclose(
+        g1["mean_v"].to_numpy(), one["mean_v"].to_numpy(), atol=1e-12
+    )
