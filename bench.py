@@ -150,6 +150,12 @@ def bench_queries(sf_dir: str):
         "polygon_metrics": lambda: Q.q_polygon_metrics(sf_dir),
         "dup_degree_hist": lambda: Q.q_dup_degree_hist(sf_dir),
         "kmeans_iterate": lambda: Q.q_kmeans_iterate(sf_dir),
+        # round-3 batch 2: ordered windows / rollup / semi / funnel
+        "order_rank_pct": lambda: Q.q_order_rank_pct(sf_dir),
+        "user_running_totals": lambda: Q.q_user_running_totals(sf_dir),
+        "event_funnel": lambda: Q.q_event_funnel(sf_dir),
+        "decayed_user_scores": lambda: Q.q_decayed_user_scores(sf_dir),
+        "active_suppliers": lambda: Q.q_active_suppliers(sf_dir),
     }
 
 

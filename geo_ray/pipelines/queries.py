@@ -4276,3 +4276,460 @@ c{it + 1} AS (
 
 
 SQL_KMEANS_ITERATE = _sql_kmeans(2)
+
+
+# ---------------------------------------------------------------------------
+# round-3 batch 2: ordered windows, rollup, semi-join, decay, funnel,
+# polygon tile cover, polyline interpolation
+# ---------------------------------------------------------------------------
+
+
+def q_user_running_totals(sf_dir: str):
+    """Per-user running totals (ordered-window cumulative SUM/COUNT): every
+    event gets its user's cumulative event count and cumulative exact cents
+    up to and including itself, ordered by (ts, event_id).
+
+    Scale shape: ONE hash-bucket co-partition on user (like ``event_gaps``);
+    each bucket lexsorts by (user, ts, event_id) and computes all of its
+    users' prefix sums in two vectorized ops (np.cumsum minus the per-segment
+    base, repeated over run lengths). All outputs are exact int64 — a unique
+    tie-break column (event_id) makes the order, hence every prefix, fully
+    deterministic on both sides."""
+    from geo_ray.stages.agg import default_num_blocks, hash_bucket_apply
+
+    nb = default_num_blocks()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.int64)
+        return b.append_column("bucket", pa.array((mix32_np(uid) % nb).astype(np.int64)))
+
+    def run_bucket(g):
+        import pandas as pd
+
+        user = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        cents = fixed_k.round_half_away(g["value"].to_numpy() * 100.0, 0).astype(np.int64)
+        order = np.lexsort((eid, ts, user))
+        user, eid, cents = user[order], eid[order], cents[order]
+        new_user = np.ones(user.size, dtype=bool)
+        new_user[1:] = user[1:] != user[:-1]
+        starts = np.flatnonzero(new_user)
+        run_len = np.diff(np.concatenate([starts, [user.size]]))
+        idx = np.arange(user.size, dtype=np.int64)
+        run_n = idx - np.repeat(starts, run_len) + 1
+        c = np.cumsum(cents)
+        base = c[starts] - cents[starts]
+        run_cents = c - np.repeat(base, run_len)
+        return pd.DataFrame(
+            {"event_id": eid, "user_id": user, "run_n": run_n, "run_cents": run_cents}
+        )
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_bucket_apply(ds, "bucket", run_bucket)
+
+
+SQL_USER_RUNNING_TOTALS = """SELECT event_id, user_id,
+  CAST(ROW_NUMBER() OVER w AS BIGINT) AS run_n,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS BIGINT) AS run_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+
+
+def q_order_rank_pct(sf_dir: str):
+    """Global percent-rank of every order inside its priority class, by
+    total price descending (unique tie-break: orderkey) — the distributed
+    ordered-window operator (stages/window.py): range-partition sort, O(1)
+    per-block boundary summaries, O(#blocks) driver state, per-block rank
+    attach with NO second shuffle. pct = (rn-1)/(n-1) from exact ints, so
+    both sides divide the identical doubles."""
+    from geo_ray.stages.window import global_ranks
+
+    def finish(t: pa.Table) -> pa.Table:
+        rn = t["rn"].to_numpy()
+        n = t["n_group"].to_numpy()
+        pct = (rn - 1).astype(np.float64) / np.maximum(n - 1, 1).astype(np.float64)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderpriority": t["o_orderpriority"],
+                "rnk": t["rn"],
+                "pct": pa.array(fixed_k.round_half_away(pct, 6)),
+            }
+        )
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice", "o_orderpriority"]
+    )
+    return global_ranks(
+        ds,
+        group_cols=["o_orderpriority"],
+        order_cols=["o_totalprice", "o_orderkey"],
+        descending=[True, False],
+        finish=finish,
+    )
+
+
+SQL_ORDER_RANK_PCT = """SELECT o_orderkey, o_orderpriority, rnk,
+  ROUND(CAST(rnk - 1 AS DOUBLE) / GREATEST(n_group - 1, 1), 6) AS pct
+FROM (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rnk,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n_group
+  FROM orders
+)"""
+
+
+def q_rollup_order_stats(sf_dir: str):
+    """GROUP BY ROLLUP(o_orderpriority, o_orderstatus): exact order counts and
+    cents totals at three hierarchy levels ((p,s), (p, ALL), (ALL, ALL)).
+
+    Scale shape: per-block partials collapse to the FINEST level only (the
+    bounded 5x3 domain), one tiny groupby, and the coarser levels are derived
+    from the finest aggregate inside a single final block — rollup levels are
+    re-aggregations of the finest level, so no second pass over the data."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        prio = b["o_orderpriority"].to_numpy(zero_copy_only=False)
+        stat = b["o_orderstatus"].to_numpy(zero_copy_only=False)
+        cents = fixed_k.round_half_away(b["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        key = np.char.add(np.char.add(prio.astype(str), "|"), stat.astype(str))
+        codes, idx = np.unique(key, return_inverse=True)
+        n = np.bincount(idx, minlength=codes.size).astype(np.int64)
+        sc = np.bincount(idx, weights=cents, minlength=codes.size).astype(np.int64)
+        return pa.table({"k": pa.array(codes.tolist()), "n": pa.array(n), "sc": pa.array(sc)})
+
+    def rollup(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        k = b["k"].to_numpy(zero_copy_only=False)
+        n = b["n"].to_numpy()
+        sc = b["sc"].to_numpy()
+        prio = np.array([s.split("|")[0] for s in k])
+        stat = np.array([s.split("|")[1] for s in k])
+        rows = {"o_orderpriority": [], "o_orderstatus": [], "n_orders": [], "total_cents": []}
+
+        def emit(p, s, nn, ss):
+            rows["o_orderpriority"].append(p)
+            rows["o_orderstatus"].append(s)
+            rows["n_orders"].append(int(nn))
+            rows["total_cents"].append(int(ss))
+
+        for i in range(k.size):
+            emit(prio[i], stat[i], n[i], sc[i])
+        for p in np.unique(prio):
+            m = prio == p
+            emit(p, "ALL", n[m].sum(), sc[m].sum())
+        emit("ALL", "ALL", n.sum(), sc.sum())
+        df = pd.DataFrame(rows)
+        df["n_orders"] = df["n_orders"].astype(np.int64)
+        df["total_cents"] = df["total_cents"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_orderstatus", "o_totalprice"]
+    )
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.groupby("k").aggregate(Sum("n", alias_name="n"), Sum("sc", alias_name="sc"))
+    return ds.repartition(1).map_batches(rollup, batch_format="pyarrow", batch_size=None)
+
+
+SQL_ROLLUP_ORDER_STATS = """SELECT
+  COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+  COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)"""
+
+
+def q_active_suppliers(sf_dir: str):
+    """EXISTS semi-join: suppliers with at least one lineitem — the semi twin
+    of the distributed anti-join (stages/join.py): one tagged co-partition
+    shuffle, filter side ships keys only, probe rows kept at most once."""
+    from geo_ray.stages.join import tagged_semi_join
+
+    rd = _rd()
+    sup = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name", "s_nationkey"]
+    )
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_suppkey"])
+    return tagged_semi_join(sup, li, "s_suppkey", "l_suppkey")
+
+
+SQL_ACTIVE_SUPPLIERS = """SELECT s_suppkey, s_name, s_nationkey FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)"""
+
+
+def q_decayed_user_scores(sf_dir: str):
+    """Per-user hyperbolic time-decayed engagement score:
+    sum over events of cents * 1e6 // (1 + age_days), age measured back from
+    the corpus-max timestamp. Every term is exact int64 (integer division of
+    non-negative ints — floor == trunc, so NumPy ``//`` and DuckDB ``//``
+    agree), so the per-user sums are order-independent and hash-exact.
+
+    Scale shape: pass 1 is a streaming MAX reduction to one scalar (the
+    anchor); pass 2 collapses each block to per-user partial sums before the
+    one small groupby. Driver state is O(1)."""
+    from ray.data.aggregate import Sum
+
+    rd = _rd()
+    anchor = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"]).max("ts")
+    anchor_us = int(np.datetime64(anchor, "us").astype(np.int64))
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.int64)
+        ts = b["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = fixed_k.round_half_away(b["value"].to_numpy() * 100.0, 0).astype(np.int64)
+        if cents.size and int(cents.min()) < 0:
+            raise ValueError("decayed_user_scores requires non-negative values")
+        age_days = (anchor_us - ts) // 86_400_000_000
+        term = cents * 1_000_000 // (1 + age_days)
+        u, idx = np.unique(uid, return_inverse=True)
+        s = np.bincount(idx, weights=term, minlength=u.size).astype(np.int64)
+        return pa.table({"user_id": pa.array(u), "p": pa.array(s)})
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    ds = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.groupby("user_id").aggregate(Sum("p", alias_name="decay_score"))
+
+
+SQL_DECAYED_USER_SCORES = """WITH a AS (SELECT MAX(epoch_us(ts)) AS anchor FROM events)
+SELECT user_id,
+  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) * 1000000
+           // (1 + (a.anchor - epoch_us(ts)) // 86400000000)) AS BIGINT) AS decay_score
+FROM events, a GROUP BY user_id"""
+
+
+def q_event_funnel(sf_dir: str):
+    """Two-step funnel (sequence detection): for every user with at least one
+    'view', the first-view timestamp and the number of 'purchase' events
+    strictly after it. Column-pruned predicate-pushdown read (only the two
+    funnel step types leave the scan), one user co-partition, vectorized
+    per-run min / conditional count. Exact int64 outputs."""
+    import pyarrow.dataset as pads
+
+    from geo_ray.stages.agg import default_num_blocks, hash_bucket_apply
+
+    nb = default_num_blocks()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.int64)
+        return b.append_column("bucket", pa.array((mix32_np(uid) % nb).astype(np.int64)))
+
+    def funnel_bucket(g):
+        import pandas as pd
+
+        user = g["user_id"].to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = g["event_type"].to_numpy()
+        order = np.lexsort((ts, user))
+        user, ts, et = user[order], ts[order], et[order]
+        is_view = et == "view"
+        is_purch = et == "purchase"
+        new_user = np.ones(user.size, dtype=bool)
+        new_user[1:] = user[1:] != user[:-1]
+        starts = np.flatnonzero(new_user)
+        run_len = np.diff(np.concatenate([starts, [user.size]]))
+        big = np.iinfo(np.int64).max
+        view_ts = np.where(is_view, ts, big)
+        first_view = np.minimum.reduceat(view_ts, starts) if starts.size else np.array([], np.int64)
+        fv_rep = np.repeat(first_view, run_len)
+        conv = (is_purch & (ts > fv_rep)).astype(np.int64)
+        n_conv = np.add.reduceat(conv, starts) if starts.size else np.array([], np.int64)
+        keep = first_view != big
+        return pd.DataFrame(
+            {
+                "user_id": user[starts][keep],
+                "first_view": first_view[keep],
+                "n_conversions": n_conv[keep],
+            }
+        )
+
+    ds = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"],
+        filter=pads.field("event_type").isin(["view", "purchase"]),
+    )
+    ds = ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_bucket_apply(ds, "bucket", funnel_bucket)
+
+
+SQL_EVENT_FUNNEL = """WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), p AS (
+  SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'
+)
+SELECT v.user_id, v.first_view,
+       CAST(COALESCE(SUM(CASE WHEN p.t > v.first_view THEN 1 END), 0) AS BIGINT) AS n_conversions
+FROM v LEFT JOIN p USING (user_id)
+GROUP BY v.user_id, v.first_view"""
+
+
+def _many_polygons_vertices_sql(n: int = 200) -> str:
+    rows = []
+    for k, ring in derive.many_polygons(n):
+        for lat, lng in ring:
+            rows.append(f"({k}, CAST({lat!r} AS DOUBLE), CAST({lng!r} AS DOUBLE))")
+    return "(VALUES " + ", ".join(rows) + ") AS v(poly_id, lat, lng)"
+
+
+def q_polygon_tile_cover(sf_dir: str, zoom: int = 8):
+    """Vector->raster: the inclusive z8 tile rectangle covering each derived
+    polygon's bounding box (tile.h:162-172 tile_range_on_level semantics),
+    exploded to one row per (poly_id, tile_x, tile_y).
+
+    The per-polygon grid explode is fully vectorized (prefix-sum index
+    arithmetic, no Python per tile); at scale the polygon set is a Dataset
+    like any other and the stage emits bounded rows per polygon (bbox area /
+    tile area). The oracle recomputes the identical pixel math on the same
+    6-dp literal vertices and expands the rectangle with generate_series."""
+    from geo_ray.kernels import tile as tile_k
+
+    polys = derive.many_polygons_arrays(200)
+    tbl = pa.table(
+        {
+            "poly_id": pa.array([p[0] for p in polys], pa.int64()),
+            "lat_min": pa.array([float(p[1].min()) for p in polys]),
+            "lat_max": pa.array([float(p[1].max()) for p in polys]),
+            "lng_min": pa.array([float(p[2].min()) for p in polys]),
+            "lng_max": pa.array([float(p[2].max()) for p in polys]),
+        }
+    )
+
+    def cover(b: pa.Table) -> pa.Table:
+        pid = b["poly_id"].to_numpy()
+        x0, y0, x1, y1 = tile_k.tile_range_of_box(
+            b["lat_min"].to_numpy(), b["lng_min"].to_numpy(),
+            b["lat_max"].to_numpy(), b["lng_max"].to_numpy(), zoom,
+        )
+        w = x1 - x0 + 1
+        h = y1 - y0 + 1
+        counts = w * h
+        total = int(counts.sum())
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        idx = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], counts)
+        h_rep = np.repeat(h, counts)
+        return pa.table(
+            {
+                "poly_id": pa.array(np.repeat(pid, counts)),
+                "tile_x": pa.array(np.repeat(x0, counts) + idx // h_rep),
+                "tile_y": pa.array(np.repeat(y0, counts) + idx % h_rep),
+            }
+        )
+
+    ds = _rd().from_arrow(tbl).repartition(8)
+    return ds.map_batches(cover, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_POLYGON_TILE_COVER = f"""WITH b AS (
+  SELECT poly_id, MIN(lat) AS lat_min, MAX(lat) AS lat_max,
+         MIN(lng) AS lng_min, MAX(lng) AS lng_max
+  FROM {_many_polygons_vertices_sql(200)} GROUP BY poly_id
+), r AS (
+  SELECT poly_id,
+         {sql_pixel_x('lng_min', 8, 4096)} // 4096 AS x0,
+         {sql_pixel_x('lng_max', 8, 4096)} // 4096 AS x1,
+         {sql_pixel_y('lat_max', 8, 4096)} // 4096 AS y0,
+         {sql_pixel_y('lat_min', 8, 4096)} // 4096 AS y1
+  FROM b
+), xs AS (
+  SELECT poly_id, y0, y1, unnest(generate_series(x0, x1)) AS tile_x FROM r
+)
+SELECT poly_id, tile_x, unnest(generate_series(y0, y1)) AS tile_y FROM xs"""
+
+
+def q_polyline_point_at(sf_dir: str, frac: float = 0.5):
+    """The point ``frac`` of the way along each derived polyline (linear
+    interpolation in lat/lng within the containing segment, segment lengths
+    by haversine). Segment lengths are rounded to 6 dp on BOTH sides before
+    the cumulative sum, and both sides accumulate in the same (vertex) order,
+    so segment selection and the interpolation fraction compare identical
+    doubles — no boundary-flip risk from libm ulps."""
+
+    def stage(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy().astype(np.int64)
+        n_pts = doc_id % 4
+        keep = n_pts >= 2
+        docs = doc_id[keep]
+        counts = n_pts[keep]
+        if docs.size == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "at_lat": pa.array([], pa.float64()),
+                 "at_lng": pa.array([], pa.float64())}
+            )
+        _, _, lat, lng = derive.derive_points(docs)
+        offs = np.concatenate([[0], np.cumsum(counts)])
+        # segment arrays: per doc, counts-1 segments
+        seg_mask = np.ones(lat.size, dtype=bool)
+        seg_mask[offs[:-1]] = False  # first vertex of each doc starts no segment
+        d = dist_k.haversine(lat[:-1], lng[:-1], lat[1:], lng[1:])
+        d = fixed_k.round_half_away(d, 6)
+        lat0, lng0, lat1, lng1 = lat[:-1], lng[:-1], lat[1:], lng[1:]
+        sm = seg_mask[1:]
+        d, lat0, lng0, lat1, lng1 = d[sm], lat0[sm], lng0[sm], lat1[sm], lng1[sm]
+        seg_counts = counts - 1
+        soffs = np.concatenate([[0], np.cumsum(seg_counts)])
+        # per-doc sequential cumulative (same order as the SQL window)
+        c = np.cumsum(d)
+        base = np.repeat(c[soffs[:-1]] - d[soffs[:-1]], seg_counts)
+        cum = c - base
+        total = np.repeat(cum[soffs[1:] - 1], seg_counts)
+        target = frac * total
+        hit = cum >= target
+        # first hit segment per doc: index of first True in each doc run
+        first_hit = np.zeros(docs.size, dtype=np.int64)
+        idx = np.arange(d.size, dtype=np.int64)
+        cand = np.where(hit, idx, np.iinfo(np.int64).max)
+        first_hit = np.minimum.reduceat(cand, soffs[:-1])
+        f = (target[first_hit] - (cum[first_hit] - d[first_hit])) / np.where(
+            d[first_hit] > 0, d[first_hit], 1.0
+        )
+        at_lat = lat0[first_hit] + (lat1[first_hit] - lat0[first_hit]) * f
+        at_lng = lng0[first_hit] + (lng1[first_hit] - lng0[first_hit]) * f
+        return pa.table(
+            {
+                "doc_id": pa.array(docs),
+                "at_lat": pa.array(fixed_k.round_half_away(at_lat, 6)),
+                "at_lng": pa.array(fixed_k.round_half_away(at_lng, 6)),
+            }
+        )
+
+    ds = _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.repartition(64).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_POLYLINE_POINT_AT = f"""{POINTS_CTE}, segs AS (
+  SELECT doc_id, pt_idx,
+         LAG(lat) OVER w AS lat0, LAG(lng) OVER w AS lng0,
+         lat AS lat1, lng AS lng1,
+         CASE WHEN pt_idx > 1
+              THEN ROUND({sql_haversine('LAG(lat) OVER w', 'LAG(lng) OVER w', 'lat', 'lng')}, 6)
+              END AS d
+  FROM points
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pt_idx)
+), c AS (
+  SELECT doc_id, pt_idx, lat0, lng0, lat1, lng1, d,
+         SUM(d) OVER (PARTITION BY doc_id ORDER BY pt_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(d) OVER (PARTITION BY doc_id) AS total
+  FROM segs WHERE d IS NOT NULL
+), h AS (
+  SELECT *, 0.5 * total AS target,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pt_idx) AS seg_rank
+  FROM c WHERE cum >= 0.5 * total
+), pick AS (
+  SELECT * FROM h WHERE seg_rank = 1
+)
+SELECT doc_id,
+  ROUND(lat0 + (lat1 - lat0) * ((target - (cum - d)) / CASE WHEN d > 0 THEN d ELSE 1.0 END), 6) AS at_lat,
+  ROUND(lng0 + (lng1 - lng0) * ((target - (cum - d)) / CASE WHEN d > 0 THEN d ELSE 1.0 END), 6) AS at_lng
+FROM pick"""

@@ -81,13 +81,18 @@ def tagged_anti_join(
     probe_key: str | list[str],
     exclude_key: str | list[str] | None = None,
     num_buckets: int = 64,
+    mode: str = "anti",
 ):
-    """Distributed ANTI-join: probe rows whose key (one or more int64-able
-    columns) never appears on the exclude side. Both sides hash-bucket on an
+    """Distributed ANTI- (or SEMI-) join: probe rows whose key (one or more
+    int64-able columns) never (``mode="anti"``) or ever (``mode="semi"``)
+    appears on the filter side. Both sides hash-bucket on an
     FNV mix of the key tuple — a tagged union through ONE co-partition
-    shuffle — and each bucket drops probe rows matching its sorted unique
-    exclude keys via ``np.searchsorted`` (multi-column keys compare exactly
-    through a structured-dtype view; the routing hash only co-locates).
+    shuffle — and each bucket drops/keeps probe rows matching its sorted
+    unique filter-side keys via ``np.searchsorted`` (multi-column keys compare
+    exactly through a structured-dtype view; the routing hash only
+    co-locates). Semi shares every byte of the machinery: the filter side
+    still ships keys only, and EXISTS semantics (each probe row at most once,
+    regardless of filter-side multiplicity) fall out of the unique().
 
     This is the scale-safe replacement for collect-distinct + ``ray.put``
     broadcast + ``np.isin``: the exclude-key set is unbounded at corpus
@@ -104,11 +109,27 @@ def tagged_anti_join(
     )
     if len(pkeys) != len(ekeys):
         raise ValueError("probe_key and exclude_key arity mismatch")
+    if mode not in ("anti", "semi"):
+        raise ValueError(f"mode must be 'anti' or 'semi', got {mode!r}")
     schema = probe_ds.schema()
     carry = [c for c in schema.names if c not in pkeys]
     types = dict(zip(schema.names, schema.types))
     nb = np.int64(num_buckets)
     kdt = np.dtype([(f"f{i}", np.int64) for i in range(len(pkeys))])
+
+    def _dummy(n: int, t: pa.DataType) -> pa.Array:
+        # Filter-side rows are dropped before output, so the value is
+        # irrelevant — but it must be NON-NULL: a null in an int64 column
+        # would flip the whole bucket to float64 when the grouped shuffle
+        # converts to pandas, corrupting the dtype of surviving probe rows.
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return pa.nulls(n, t).fill_null("")
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return pa.nulls(n, t).fill_null(b"")
+        try:
+            return pa.array(np.zeros(n, dtype=np.int64)).cast(t)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            return pa.nulls(n, t)
 
     def _cols(key_arrs: list[pa.Array], side_val: int, src: pa.Table | None) -> pa.Table:
         ks = [a.cast(pa.int64()) for a in key_arrs]
@@ -116,7 +137,7 @@ def tagged_anti_join(
         n = len(ks[0])
         cols = dict(zip(pkeys, ks))
         for c in carry:
-            cols[c] = src[c] if src is not None else pa.nulls(n, types[c])
+            cols[c] = src[c] if src is not None else _dummy(n, types[c])
         cols["_side"] = pa.array(np.full(n, side_val, dtype=np.int64))
         cols["_jb"] = pa.array((_mix_keys(kns) % np.uint64(nb)).astype(np.int64))
         return pa.table(cols)
@@ -150,7 +171,10 @@ def tagged_anti_join(
             kk = _void(mine)
             pos = np.searchsorted(ex, kk)
             pos_c = np.minimum(pos, ex.size - 1)
-            mine = mine[ex[pos_c] != kk]
+            matched = ex[pos_c] == kk
+            mine = mine[matched] if mode == "semi" else mine[~matched]
+        elif mode == "semi":
+            mine = mine.iloc[0:0]
         return mine.drop(columns=["_side", "_jb"])
 
     from geo_ray.stages.agg import hash_bucket_apply
@@ -159,3 +183,11 @@ def tagged_anti_join(
         probe_ds.map_batches(pr_side, batch_format="pyarrow", zero_copy_batch=True)
     )
     return hash_bucket_apply(both, "_jb", anti_bucket, num_blocks=num_buckets)
+
+
+def tagged_semi_join(probe_ds, match_ds, probe_key, match_key=None, num_buckets: int = 64):
+    """EXISTS semi-join through the same single co-partition shuffle as
+    :func:`tagged_anti_join` — see its docstring."""
+    return tagged_anti_join(
+        probe_ds, match_ds, probe_key, exclude_key=match_key, num_buckets=num_buckets, mode="semi"
+    )
