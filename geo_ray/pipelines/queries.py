@@ -1105,6 +1105,85 @@ def q_minhash_pairs(sf_dir: str):
     return out.map_batches(unpack, batch_format="pyarrow")
 
 
+def _minhash_ctes() -> str:
+    """DuckDB twin of the full MinHash+LSH pair plan (stages/dedup.py):
+    FNV-1a token hashes (HUGEINT Horner per char), rolling 3-shingle
+    polynomial combine, 64 universal hashes (a*s61+b mod 2^64 with the SAME
+    rng(12345) coefficients), per-doc minima, and LSH candidates via
+    4-value band agreement — the Ray side buckets on a 56-bit FNV fold of
+    the band values, so SQL value-equality matches it up to a ~2^-56
+    fold-collision (none possible at test scale: a collision would surface
+    as an extra-pair mismatch). Verify = exact signature agreement fraction
+    >= 0.6, rounded half-away to 3 dp like the NumPy kernel. Returns the
+    CTE chain ending in ``est`` — shared by SQL_MINHASH_PAIRS and the
+    recursive-closure SQL_DOC_DUP_COMPONENTS."""
+    from geo_ray.stages import dedup as dedup_st
+
+    a, b = dedup_st._coeffs()
+    coeff_rows = ",".join(
+        f"({j},{int(a[j])}::HUGEINT,{int(b[j])}::HUGEINT)" for j in range(dedup_st.N_HASH)
+    )
+    m = "18446744073709551616::HUGEINT"  # 2^64
+    return f"""tk AS (
+  SELECT doc_id,
+         (CASE WHEN len(t0) = 0 THEN ['', '', '']
+               WHEN len(t0) = 1 THEN list_concat(t0, ['', ''])
+               WHEN len(t0) = 2 THEN list_concat(t0, [''])
+               ELSE t0 END) AS tk
+  FROM (SELECT doc_id, [t for t in string_split(text, ' ') if t <> ''] AS t0 FROM documents)
+), th AS (
+  SELECT doc_id,
+         list_transform(tk, tok -> list_reduce(
+           list_prepend(14695981039346656037::HUGEINT, [unicode(c)::HUGEINT for c in split(tok, '')]),
+           (acc, ch) -> (xor(acc, ch) * 1099511628211) % {m}
+         )) AS th
+  FROM tk
+), shingles AS (
+  SELECT doc_id,
+         ((((th[i] * 1099511628211 + th[i + 1]) % {m}) * 1099511628211 + th[i + 2]) % {m})
+           % 2305843009213693952::HUGEINT AS s61
+  FROM (SELECT doc_id, th, unnest(range(1, len(th) - 1)) AS i FROM th)
+), mins AS (
+  SELECT doc_id, c.j AS j, MIN((c.a * s61 + c.b) % {m}) AS mh
+  FROM shingles, (SELECT * FROM (VALUES {coeff_rows}) v(j, a, b)) c
+  GROUP BY doc_id, c.j
+), bands AS (
+  SELECT doc_id, j // 4 AS band, list(mh ORDER BY j) AS vals
+  FROM mins GROUP BY doc_id, j // 4
+), cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y ON x.band = y.band AND x.vals = y.vals AND x.doc_id < y.doc_id
+), est AS (
+  SELECT c.doc_a, c.doc_b,
+         SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) / 64.0 AS e
+  FROM cand c
+  JOIN mins ma ON ma.doc_id = c.doc_a
+  JOIN mins mb ON mb.doc_id = c.doc_b AND mb.j = ma.j
+  GROUP BY c.doc_a, c.doc_b
+)"""
+
+
+SQL_MINHASH_PAIRS = (
+    f"WITH {_minhash_ctes()}\n"
+    "SELECT doc_a, doc_b, ROUND(e, 3) AS est_jaccard FROM est WHERE e >= 0.6"
+)
+
+# Connected components over the MinHash pair graph via recursive transitive
+# closure (fine at oracle scale: the pair graph is tiny); component = the
+# component's minimum doc_id; roots are excluded — matching
+# stages/cluster_copart.resolve_components' (member, root) star output.
+SQL_DOC_DUP_COMPONENTS = f"""WITH RECURSIVE {_minhash_ctes()},
+pairs AS (SELECT doc_a, doc_b FROM est WHERE e >= 0.6),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(s, d) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.s, e.v FROM reach r JOIN edges e ON r.d = e.u
+)
+SELECT s AS doc_id, LEAST(s, MIN(d)) AS component FROM reach GROUP BY s
+HAVING LEAST(s, MIN(d)) <> s"""
+
+
 def q_minhash_pairs_joined(sf_dir: str):
     """The 100 TB MinHash realization: the band shuffle carries
     (band_key, doc_id) ONLY — signatures are never duplicated into band rows
@@ -1181,8 +1260,9 @@ def q_doc_dup_components(sf_dir: str):
     minimum doc_id — the dedup-grouping step a training pipeline applies
     after pair generation (keep one doc per component). Reuses the
     distributed star-contraction/single-reducer component machinery of the
-    clustering stage; rows-only (iterative — not SQL-expressible), pinned by
-    pytest against a sequential union-find over the same pairs."""
+    clustering stage; oracled by SQL_DOC_DUP_COMPONENTS (recursive
+    transitive closure) and pinned by pytest against a sequential
+    union-find over the same pairs."""
     from geo_ray.stages.cluster_copart import resolve_components
 
     # Compose over the LEAN band shuffle (24-byte band rows + signature
@@ -1221,8 +1301,9 @@ def q_simhash(sf_dir: str):
 # HUGEINT Horner trick as SQL_FINGERPRINTS), then 64 per-bit +/-1 votes; bit b
 # of the result is set iff its vote sum is > 0 — mirroring stages/dedup.py
 # simhash64 exactly. Tokens come from single-space splits with empties dropped
-# (the corpus has no other whitespace; checked tab/newline-free).
-SQL_SIMHASH = f"""WITH th AS (
+# (the corpus has no other whitespace; checked tab/newline-free). The CTE body
+# is shared by SQL_SIMHASH and SQL_SIMHASH_DUP_PAIRS.
+_SQL_SIMHASH_CTES = f"""th AS (
   SELECT doc_id,
          list_reduce(
            list_prepend(14695981039346656037::HUGEINT, [unicode(c)::HUGEINT for c in split(tok, '')]),
@@ -1242,9 +1323,33 @@ SQL_SIMHASH = f"""WITH th AS (
   SELECT doc_id,
          SUM(CASE WHEN v > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS h
   FROM votes GROUP BY doc_id
+), sim AS (
+  SELECT d.doc_id, COALESCE({_SQL_U64_TO_I64.format(h='sh.h')}, 0) AS simhash
+  FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+)"""
+
+SQL_SIMHASH = f"WITH {_SQL_SIMHASH_CTES}\nSELECT doc_id, simhash FROM sim"
+
+# Hamming-pair twin: same pigeonhole banding as the Ray plan (a pair within
+# distance 3 must agree on one of the 4 16-bit bands), expressed as a band
+# equi-join so the SQL never cross-joins the corpus; verify = popcount of the
+# XOR on the int64 two's-complement views (bit-identical to the uint64 XOR).
+SQL_SIMHASH_DUP_PAIRS = f"""WITH {_SQL_SIMHASH_CTES},
+u AS (
+  SELECT doc_id, simhash,
+         (CASE WHEN simhash < 0 THEN simhash::HUGEINT + 18446744073709551616::HUGEINT
+               ELSE simhash::HUGEINT END) AS ush
+  FROM sim
+), bandv AS (
+  SELECT doc_id, simhash, k.k AS k, ((ush >> (16 * k.k)) % 65536)::BIGINT AS bv
+  FROM u, (SELECT unnest(range(4)) AS k) k
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM bandv a JOIN bandv b ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
 )
-SELECT d.doc_id, COALESCE({_SQL_U64_TO_I64.format(h='sh.h')}, 0) AS simhash
-FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id"""
+SELECT doc_a, doc_b, bit_count(xor(ha, hb))::BIGINT AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= 3"""
 
 
 def q_simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
@@ -1254,8 +1359,8 @@ def q_simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
     agree on at least one band — so a band-value groupby generates a
     candidate superset, and a vectorized popcount verify keeps the true
     pairs. The shuffle carries only (band_key, doc_id, simhash) rows.
-    Rows-only (SimHash is not SQL-expressible); pytest pins equality with
-    the all-pairs popcount scan."""
+    Oracled by SQL_SIMHASH_DUP_PAIRS (same pigeonhole banding in SQL) and
+    pytest-pinned equal to the all-pairs popcount scan."""
     from geo_ray.stages import dedup as dedup_st
 
     def bands(b: pa.Table) -> pa.Table:
