@@ -1139,10 +1139,12 @@ def _minhash_ctes() -> str:
          )) AS th
   FROM tk
 ), shingles AS (
-  SELECT doc_id,
-         ((((th[i] * 1099511628211 + th[i + 1]) % {m}) * 1099511628211 + th[i + 2]) % {m})
-           % 2305843009213693952::HUGEINT AS s61
-  FROM (SELECT doc_id, th, unnest(range(1, len(th) - 1)) AS i FROM th)
+  SELECT doc_id, s64, s64 % 2305843009213693952::HUGEINT AS s61
+  FROM (
+    SELECT doc_id,
+           ((((th[i] * 1099511628211 + th[i + 1]) % {m}) * 1099511628211 + th[i + 2]) % {m}) AS s64
+    FROM (SELECT doc_id, th, unnest(range(1, len(th) - 1)) AS i FROM th)
+  )
 ), mins AS (
   SELECT doc_id, c.j AS j, MIN((c.a * s61 + c.b) % {m}) AS mh
   FROM shingles, (SELECT * FROM (VALUES {coeff_rows}) v(j, a, b)) c
@@ -1182,6 +1184,42 @@ reach(s, d) AS (
 )
 SELECT s AS doc_id, LEAST(s, MIN(d)) AS component FROM reach GROUP BY s
 HAVING LEAST(s, MIN(d)) <> s"""
+
+# n-gram Jaccard twin: SAME token/shingle/minhash machinery (k = n = 3), but
+# 32 two-row LSH bands gated on real (lang, source) equality (the Ray side
+# folds an FNV group key into the band hash), and the verify is the EXACT
+# Jaccard over each doc's DISTINCT full-64-bit shingle hashes. jaccard uses
+# round_even to mirror the kernel's np.round (half-even — unlike the
+# round-half-away used elsewhere; pinned by stages/dedup.verify_ngram_pairs).
+SQL_NGRAM_DUP_GROUPS = f"""WITH {_minhash_ctes()},
+bands2 AS (
+  SELECT doc_id, j // 2 AS band, list(mh ORDER BY j) AS vals
+  FROM mins GROUP BY doc_id, j // 2
+), meta AS (
+  SELECT doc_id, lang, source FROM documents
+), cand2 AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bands2 x
+  JOIN bands2 y ON x.band = y.band AND x.vals = y.vals AND x.doc_id < y.doc_id
+  JOIN meta ma ON ma.doc_id = x.doc_id
+  JOIN meta mb ON mb.doc_id = y.doc_id AND mb.lang = ma.lang AND mb.source = ma.source
+), sets AS (
+  SELECT DISTINCT doc_id, s64 FROM shingles
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sets GROUP BY doc_id
+), inter AS (
+  SELECT c.a, c.b, COUNT(*) AS i
+  FROM cand2 c
+  JOIN sets sa ON sa.doc_id = c.a
+  JOIN sets sb ON sb.doc_id = c.b AND sb.s64 = sa.s64
+  GROUP BY c.a, c.b
+)
+SELECT t.a AS doc_a, t.b AS doc_b, round_even(t.jac, 3) AS jaccard
+FROM (
+  SELECT iv.a, iv.b, iv.i::DOUBLE / (na.n + nb.n - iv.i) AS jac
+  FROM inter iv JOIN sizes na ON na.doc_id = iv.a JOIN sizes nb ON nb.doc_id = iv.b
+) t
+WHERE t.jac >= 0.5"""
 
 
 def q_minhash_pairs_joined(sf_dir: str):
