@@ -64,8 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_region_counts": Q.q_supplier_region_counts,
         "priority_order_stats": Q.q_priority_order_stats,
         "event_sessions": Q.q_event_sessions,
-        # --- stable core: headline pipeline ---
-        "flagship": Q.q_flagship,
+        # --- new in round 3: multi-level-grid spatial self-join ---
+        "segment_crossings": Q.q_segment_crossings,
         # --- new in round 3 (batch 2: windows/rollup/semi/decay/funnel/spatial) ---
         "user_running_totals": Q.q_user_running_totals,
         "order_rank_pct": Q.q_order_rank_pct,
@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_degree_hist": Q.q_dup_degree_hist,
         "kmeans_iterate": Q.q_kmeans_iterate,
         # --- tail (past the driver's 50-row cap): double-green in r1+r2 ---
+        "flagship": Q.q_flagship,
         "ivf_topk": Q.q_ivf_topk,
         "event_hourly": Q.q_event_hourly,
         "revenue_by_nation": Q.q_revenue_by_nation,
@@ -201,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "polygon_metrics": Q.SQL_POLYGON_METRICS,
         "dup_degree_hist": Q.SQL_DUP_DEGREE_HIST,
         "kmeans_iterate": Q.SQL_KMEANS_ITERATE,
+        "segment_crossings": Q.SQL_SEGMENT_CROSSINGS,
         "contamination_flags": Q.SQL_CONTAMINATION_FLAGS,
         "curation_pipeline": Q.SQL_CURATION_PIPELINE,
         "snap_roads": Q.SQL_SNAP_ROADS,

@@ -4149,6 +4149,71 @@ SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
 FROM g GROUP BY source"""
 
 
+def q_segment_crossings(sf_dir: str):
+    """Distributed segment-crossing self-join (multi-level grid): every pair
+    of derived polyline segments that STRICTLY cross, aggregated to a
+    per-segment crossing count. Exact int64 micro-degree orientation
+    predicate on both sides; the grid/canonical-cell plan is
+    :mod:`geo_ray.stages.segjoin`. Output (doc_id, seg_idx, n_cross)."""
+    from ray.data.aggregate import Sum
+
+    from geo_ray.stages import segjoin
+    from geo_ray.stages.agg import coalesce_for_shuffle, hash_bucket_apply
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    # single-row-group file -> one block; split so per-cell crossing tasks
+    # parallelize (override_num_blocks cannot split one row group)
+    segs = ds.repartition(32).map_batches(
+        segjoin.doc_segments, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cells = segs.map_batches(
+        segjoin.explode_cover_cells, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        c = b["cell"].to_numpy()
+        return b.append_column("bucket", pa.array(mix32_np(c) % np.int64(64)))
+
+    cells = cells.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    partials = hash_bucket_apply(cells, "bucket", segjoin.cell_crossing_counts)
+    out = coalesce_for_shuffle(partials).groupby(["doc_id", "seg_idx"]).aggregate(
+        Sum("n_partial", alias_name="n_cross")
+    )
+    return out
+
+
+def _sql_orient(px, py, qx, qy, rx, ry) -> str:
+    return f"(({qx}) - ({px})) * (({ry}) - ({py})) - (({qy}) - ({py})) * (({rx}) - ({px}))"
+
+
+# Strict-crossing twin: identical micro-degree int64 quantization and
+# orientation signs; the O(n^2) cross join is the oracle-scale plan only.
+SQL_SEGMENT_CROSSINGS = f"""{POINTS_CTE}, pm AS (
+  SELECT doc_id, pt_idx,
+         CAST(ROUND(lng * 1000000, 0) AS BIGINT) AS x,
+         CAST(ROUND(lat * 1000000, 0) AS BIGINT) AS y
+  FROM points
+), segs AS (
+  SELECT doc_id, pt_idx AS seg_idx, x AS ax, y AS ay,
+         LEAD(x) OVER w AS bx, LEAD(y) OVER w AS by
+  FROM pm WINDOW w AS (PARTITION BY doc_id ORDER BY pt_idx)
+  QUALIFY LEAD(x) OVER w IS NOT NULL
+), pairs AS (
+  SELECT s.doc_id AS da, s.seg_idx AS sa, t.doc_id AS db, t.seg_idx AS sb
+  FROM segs s JOIN segs t
+    ON (s.doc_id < t.doc_id OR (s.doc_id = t.doc_id AND s.seg_idx < t.seg_idx))
+  WHERE (({_sql_orient('s.ax','s.ay','s.bx','s.by','t.ax','t.ay')} > 0 AND {_sql_orient('s.ax','s.ay','s.bx','s.by','t.bx','t.by')} < 0)
+      OR ({_sql_orient('s.ax','s.ay','s.bx','s.by','t.ax','t.ay')} < 0 AND {_sql_orient('s.ax','s.ay','s.bx','s.by','t.bx','t.by')} > 0))
+    AND (({_sql_orient('t.ax','t.ay','t.bx','t.by','s.ax','s.ay')} > 0 AND {_sql_orient('t.ax','t.ay','t.bx','t.by','s.bx','s.by')} < 0)
+      OR ({_sql_orient('t.ax','t.ay','t.bx','t.by','s.ax','s.ay')} < 0 AND {_sql_orient('t.ax','t.ay','t.bx','t.by','s.bx','s.by')} > 0))
+), sides AS (
+  SELECT da AS doc_id, sa AS seg_idx FROM pairs
+  UNION ALL SELECT db, sb FROM pairs
+)
+SELECT doc_id, seg_idx, COUNT(*) AS n_cross FROM sides GROUP BY doc_id, seg_idx"""
+
+
 def q_polygon_metrics(sf_dir: str):
     """Per-polygon geometry metrics over the derived area set: vertex count,
     EXACT planar shoelace area in micro-degree² fixed-point, and haversine
