@@ -60,7 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_quantile_sketch": Q.q_price_quantile_sketch,
         "user_distinct_hll": Q.q_user_distinct_hll,
         "customers_bloom_prefilter": Q.q_customers_bloom_prefilter,
-        "parts_by_brand": Q.q_parts_by_brand,
+        "purchase_window_events": Q.q_purchase_window_events,
         "supplier_region_counts": Q.q_supplier_region_counts,
         "priority_order_stats": Q.q_priority_order_stats,
         "event_sessions": Q.q_event_sessions,
@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_iterate": Q.q_kmeans_iterate,
         # --- tail (past the driver's 50-row cap): double-green in r1+r2 ---
         "flagship": Q.q_flagship,
+        "parts_by_brand": Q.q_parts_by_brand,
         "ivf_topk": Q.q_ivf_topk,
         "event_hourly": Q.q_event_hourly,
         "revenue_by_nation": Q.q_revenue_by_nation,
@@ -203,6 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_degree_hist": Q.SQL_DUP_DEGREE_HIST,
         "kmeans_iterate": Q.SQL_KMEANS_ITERATE,
         "segment_crossings": Q.SQL_SEGMENT_CROSSINGS,
+        "purchase_window_events": Q.SQL_PURCHASE_WINDOW_EVENTS,
         "contamination_flags": Q.SQL_CONTAMINATION_FLAGS,
         "curation_pipeline": Q.SQL_CURATION_PIPELINE,
         "snap_roads": Q.SQL_SNAP_ROADS,

@@ -3811,6 +3811,128 @@ GROUP BY r.r_name"""
 # ---------------------------------------------------------------------------
 
 
+_HOUR_US = 3_600_000_000
+
+
+def q_purchase_window_events(sf_dir: str):
+    """INTERVAL-OVERLAP JOIN: for every purchase event, the number of OTHER
+    same-user events inside [ts, ts + 1h) — the time-window self-join shape
+    (complementing the as-of join and the 1-D value range join).
+
+    Scale plan: co-partition on (user, hour bucket). A 1-hour window spans at
+    most 2 hour buckets, so each purchase probe replicates to exactly the
+    buckets its window overlaps while every candidate event lives in its ONE
+    bucket — each matching (probe, event) pair co-occurs in exactly one
+    partition, so partial counts sum globally with no dedup shuffle. Inside a
+    bucket the count is two binary searches per probe over the bucket's
+    time-sorted events (no pair materialization). The probe's own row counts
+    itself (same bucket, ts in window), so every purchase appears in the
+    output; the final stage subtracts the self-match."""
+    from ray.data.aggregate import Sum
+
+    from geo_ray.stages.agg import hash_bucket_apply
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        us = b["ts"].cast(pa.int64()).to_numpy()
+        user = b["user_id"].to_numpy().astype(np.int64)
+        eid = b["event_id"].to_numpy().astype(np.int64)
+        is_p = pc.equal(b["event_type"], "purchase").to_numpy(zero_copy_only=False)
+        hb = us // _HOUR_US
+        # candidate rows: every event, its own bucket
+        rows = [
+            {
+                "user_id": user,
+                "hb": hb,
+                "flag": np.zeros(us.size, dtype=np.int8),
+                "event_id": eid,
+                "us": us,
+            }
+        ]
+        # probe rows: purchases, replicated to each bucket the window overlaps
+        p = np.flatnonzero(is_p)
+        for shift in (0, 1):
+            keep = p[(us[p] + _HOUR_US - 1) // _HOUR_US >= hb[p] + shift] if shift else p
+            rows.append(
+                {
+                    "user_id": user[keep],
+                    "hb": hb[keep] + shift,
+                    "flag": np.ones(keep.size, dtype=np.int8),
+                    "event_id": eid[keep],
+                    "us": us[keep],
+                }
+            )
+        out = {k: np.concatenate([r[k] for r in rows]) for k in rows[0]}
+        t = pa.table({k: pa.array(v) for k, v in out.items()})
+        bucket = mix32_np(out["user_id"]) ^ mix32_np(out["hb"])
+        return t.append_column("bucket", pa.array((bucket % np.int64(64)).astype(np.int64)))
+
+    def window_counts(group):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                "event_id": np.array([], dtype=np.int64),
+                "n_partial": np.array([], dtype=np.int64),
+            }
+        )
+        user = group["user_id"].to_numpy(np.int64)
+        if user.size == 0:
+            return empty
+        hb = group["hb"].to_numpy(np.int64)
+        flag = group["flag"].to_numpy(np.int8)
+        eid = group["event_id"].to_numpy(np.int64)
+        us = group["us"].to_numpy(np.int64)
+        order = np.lexsort((us, flag, hb, user))
+        user, hb, flag, eid, us = (a[order] for a in (user, hb, flag, eid, us))
+        key_change = np.concatenate(
+            [[True], (user[1:] != user[:-1]) | (hb[1:] != hb[:-1])]
+        )
+        starts = np.flatnonzero(key_change)
+        lens = np.diff(np.concatenate([starts, [user.size]]))
+        out_e, out_n = [], []
+        for s, ln in zip(starts, lens):
+            sl = slice(s, s + ln)
+            f = flag[sl]
+            np_probe = int(f.sum())
+            if np_probe == 0 or np_probe == ln:
+                continue
+            ev_us = us[sl][f == 0]  # sorted (lexsort minor key)
+            p_us = us[sl][f == 1]
+            lo = np.searchsorted(ev_us, p_us, side="left")
+            hi = np.searchsorted(ev_us, p_us + _HOUR_US, side="left")
+            out_e.append(eid[sl][f == 1])
+            out_n.append((hi - lo).astype(np.int64))
+        if not out_e:
+            return empty
+        return pd.DataFrame(
+            {"event_id": np.concatenate(out_e), "n_partial": np.concatenate(out_n)}
+        )
+
+    ds = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+    partials = hash_bucket_apply(ds, "bucket", window_counts)
+    out = partials.groupby("event_id").aggregate(Sum("n_partial", alias_name="n_inc"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = pc.subtract(b["n_inc"], pa.scalar(1, pa.int64()))
+        return pa.table({"event_id": b["event_id"], "n_in_window": n})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_PURCHASE_WINDOW_EVENTS = """WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, COUNT(*) - 1 AS n_in_window
+FROM p JOIN events e
+  ON e.user_id = p.user_id AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 1 HOUR
+GROUP BY p.event_id"""
+
+
 def q_event_gaps(sf_dir: str):
     """Per-user inter-arrival gaps: n_gaps, exact sum and max gap (µs).
 

@@ -194,3 +194,27 @@ def test_kmeans_iterate_matches_single_process_lloyd(ray_session):
     np.testing.assert_allclose(
         g1["mean_v"].to_numpy(), one["mean_v"].to_numpy(), atol=1e-12
     )
+
+
+def test_purchase_window_events_matches_pandas_brute(ray_session):
+    """Interval-overlap join == brute-force per-user scan, incl. purchases
+    whose window crosses an hour-bucket boundary (probe replication path)."""
+    from geo_ray.pipelines import queries as Q
+
+    got = (
+        Q.q_purchase_window_events(SF)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ev = pq.read_table(
+        f"{SF}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    ).to_pandas()
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype(np.int64)
+    rows = []
+    for _, p in ev[ev["event_type"] == "purchase"].iterrows():
+        same = ev[ev["user_id"] == p["user_id"]]
+        n = int(((same["us"] >= p["us"]) & (same["us"] < p["us"] + 3_600_000_000)).sum())
+        rows.append({"event_id": int(p["event_id"]), "n_in_window": n - 1})
+    want = pd.DataFrame(rows).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
