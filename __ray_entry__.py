@@ -61,7 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_distinct_hll": Q.q_user_distinct_hll,
         "customers_bloom_prefilter": Q.q_customers_bloom_prefilter,
         "purchase_window_events": Q.q_purchase_window_events,
-        "supplier_region_counts": Q.q_supplier_region_counts,
+        "polyline_turn_angles": Q.q_polyline_turn_angles,
         "priority_order_stats": Q.q_priority_order_stats,
         "event_sessions": Q.q_event_sessions,
         # --- new in round 3: multi-level-grid spatial self-join ---
@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- tail (past the driver's 50-row cap): double-green in r1+r2 ---
         "flagship": Q.q_flagship,
         "parts_by_brand": Q.q_parts_by_brand,
+        "supplier_region_counts": Q.q_supplier_region_counts,
         "ivf_topk": Q.q_ivf_topk,
         "event_hourly": Q.q_event_hourly,
         "revenue_by_nation": Q.q_revenue_by_nation,
@@ -205,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_iterate": Q.SQL_KMEANS_ITERATE,
         "segment_crossings": Q.SQL_SEGMENT_CROSSINGS,
         "purchase_window_events": Q.SQL_PURCHASE_WINDOW_EVENTS,
+        "polyline_turn_angles": Q.SQL_POLYLINE_TURN_ANGLES,
         "contamination_flags": Q.SQL_CONTAMINATION_FLAGS,
         "curation_pipeline": Q.SQL_CURATION_PIPELINE,
         "snap_roads": Q.SQL_SNAP_ROADS,

@@ -191,6 +191,59 @@ SELECT doc_id, pt_idx,
 FROM points"""
 
 
+def q_polyline_turn_angles(sf_dir: str):
+    """Trajectory turn analysis: the signed turn angle at each interior
+    vertex of a derived polyline — bearing(p2->p3) minus bearing(p1->p2)
+    normalized to [-180, 180) — vectorized over whole strided point blocks
+    (3-point docs only; 2-point lines have no interior vertex)."""
+    def stage(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy().astype(np.int64)
+        docs = doc_id[doc_id % 4 == 3]
+        if docs.size == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "vertex_idx": pa.array([], pa.int64()),
+                    "turn_deg": pa.array([], pa.float64()),
+                }
+            )
+        d_rep, pt_idx, lat, lng = derive.derive_points(docs)
+        b1 = bearing_k.bearing(lat[0::3], lng[0::3], lat[1::3], lng[1::3])
+        b2 = bearing_k.bearing(lat[1::3], lng[1::3], lat[2::3], lng[2::3])
+        turn = np.fmod(b2 - b1 + 540.0, 360.0) - 180.0
+        return pa.table(
+            {
+                "doc_id": pa.array(docs),
+                "vertex_idx": pa.array(np.full(docs.size, 2, dtype=np.int64)),
+                "turn_deg": pa.array(fixed_k.round_half_away(turn, 6)),
+            }
+        )
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.repartition(32).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _sql_bearing_next(lat, lng, lat2, lng2) -> str:
+    return f"""DEGREES(FMOD(ATAN2(
+    SIN(RADIANS({lng2}) - RADIANS({lng})) * COS(RADIANS({lat2})),
+    COS(RADIANS({lat})) * SIN(RADIANS({lat2}))
+      - SIN(RADIANS({lat})) * COS(RADIANS({lat2})) * COS(RADIANS({lng2}) - RADIANS({lng}))
+  ) + 2 * PI(), 2 * PI()))"""
+
+
+SQL_POLYLINE_TURN_ANGLES = f"""{POINTS_CTE}, br AS (
+  SELECT doc_id, pt_idx,
+         {_sql_bearing_next('lat', 'lng', 'LEAD(lat) OVER w', 'LEAD(lng) OVER w')} AS b
+  FROM points WINDOW w AS (PARTITION BY doc_id ORDER BY pt_idx)
+  QUALIFY LEAD(lat) OVER w IS NOT NULL
+)
+SELECT doc_id, CAST(pt_idx + 1 AS BIGINT) AS vertex_idx,
+       ROUND(FMOD(LEAD(b) OVER w2 - b + 540.0, 360.0) - 180.0, 6) AS turn_deg
+FROM br WINDOW w2 AS (PARTITION BY doc_id ORDER BY pt_idx)
+QUALIFY LEAD(b) OVER w2 IS NOT NULL"""
+
+
 def q_destination_points(sf_dir: str):
     def stage(b: pa.Table) -> pa.Table:
         lat = b["lat"].to_numpy()
