@@ -62,7 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_bloom_prefilter": Q.q_customers_bloom_prefilter,
         "purchase_window_events": Q.q_purchase_window_events,
         "polyline_turn_angles": Q.q_polyline_turn_angles,
-        "priority_order_stats": Q.q_priority_order_stats,
+        "frequent_shingles": Q.q_frequent_shingles,
         "event_sessions": Q.q_event_sessions,
         # --- new in round 3: multi-level-grid spatial self-join ---
         "segment_crossings": Q.q_segment_crossings,
@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship": Q.q_flagship,
         "parts_by_brand": Q.q_parts_by_brand,
         "supplier_region_counts": Q.q_supplier_region_counts,
+        "priority_order_stats": Q.q_priority_order_stats,
         "ivf_topk": Q.q_ivf_topk,
         "event_hourly": Q.q_event_hourly,
         "revenue_by_nation": Q.q_revenue_by_nation,
@@ -207,6 +208,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_crossings": Q.SQL_SEGMENT_CROSSINGS,
         "purchase_window_events": Q.SQL_PURCHASE_WINDOW_EVENTS,
         "polyline_turn_angles": Q.SQL_POLYLINE_TURN_ANGLES,
+        "frequent_shingles": Q.SQL_FREQUENT_SHINGLES,
         "contamination_flags": Q.SQL_CONTAMINATION_FLAGS,
         "curation_pipeline": Q.SQL_CURATION_PIPELINE,
         "snap_roads": Q.SQL_SNAP_ROADS,

@@ -2791,6 +2791,143 @@ FROM scored
 QUALIFY ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, tok) <= 5"""
 
 
+_FREQ_PHI = 5e-5  # frequency threshold (fraction of all shingle instances)
+_SS_CAPACITY = 32768  # per-partial summary capacity (must be >> 1/phi / #parts)
+_SENT_N = "\x01N"  # sentinel rows carry exact instance total / max-dropped err
+_SENT_E = "\x01E"
+
+
+def _shingle_strings(texts) -> pa.Array:
+    """Arrow column of texts -> flat array of word 3-gram strings (docs with
+    < 3 tokens contribute none; no padding — this is phrase mining, not
+    signature hashing)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.utf8_split_whitespace(texts)
+    flat = toks.flatten()
+    counts = np.asarray(toks.value_lengths(), dtype=np.int64)
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    sh_counts = np.maximum(counts - 2, 0)
+    total = int(sh_counts.sum())
+    if total == 0:
+        return pa.array([], pa.string())
+    local = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate([[0], np.cumsum(sh_counts)])[:-1], sh_counts
+    )
+    starts = np.repeat(offs[:-1], sh_counts) + local
+    a = pc.take(flat, pa.array(starts))
+    b = pc.take(flat, pa.array(starts + 1))
+    c = pc.take(flat, pa.array(starts + 2))
+    return pc.binary_join_element_wise(a, b, c, " ")
+
+
+def q_frequent_shingles(sf_dir: str):
+    """FREQUENT-ITEMS (heavy hitters) over word 3-grams — 'phrases occurring
+    in >= phi of all shingle instances', the SpaceSaving/Misra-Gries sketch
+    family member alongside DDSketch / HLL / Bloom:
+
+    1. per-batch partial summaries: exact batch counts truncated to the top
+       _SS_CAPACITY items, with the max dropped count carried as the
+       summary's error bound (classic mergeable-summaries construction);
+    2. merged candidates = items whose summed sketch count >= phi*N - sum(err)
+       — a PROVABLE superset of the true heavy hitters whenever
+       sum(err) < phi*N, which the pipeline asserts at runtime;
+    3. exact verify pass: candidates broadcast, a second corpus scan counts
+       them exactly, keep count >= phi*N.
+
+    Output (shingle, cnt) exact — the oracle is the plain GROUP BY/HAVING."""
+    from ray.data.aggregate import Sum
+
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
+    def partial_summaries(b: pa.Table) -> pa.Table:
+        sh = _shingle_strings(b["text"])
+        n = len(sh)
+        if n == 0:
+            return pa.table(
+                {"shingle": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        vc = sh.value_counts()
+        vals, cnts = vc.field("values"), vc.field("counts").to_numpy()
+        err = 0
+        if cnts.size > _SS_CAPACITY:
+            order = np.argsort(-cnts, kind="mergesort")
+            dropped = order[_SS_CAPACITY:]
+            err = int(cnts[dropped].max())
+            keep = order[:_SS_CAPACITY]
+            vals, cnts = pc.take(vals, pa.array(keep)), cnts[keep]
+        vals = pa.concat_arrays(
+            [vals.cast(pa.string()), pa.array([_SENT_N, _SENT_E], pa.string())]
+        )
+        cnts = np.concatenate([cnts.astype(np.int64), [n, err]])
+        return pa.table({"shingle": vals, "cnt": pa.array(cnts)})
+
+    docs = _docs_ds(sf_dir)
+    merged = (
+        coalesce_for_shuffle(
+            docs.map_batches(partial_summaries, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("shingle")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+    sent = {
+        r["shingle"]: r["cnt"]
+        for r in merged.filter(
+            lambda row: row["shingle"] in (_SENT_N, _SENT_E)
+        ).take_all()
+    }
+    n_total, err_total = int(sent[_SENT_N]), int(sent[_SENT_E])
+    thresh = _FREQ_PHI * n_total
+    if err_total >= thresh:
+        raise RuntimeError(
+            f"heavy-hitter guarantee broken: sum(err)={err_total} >= phi*N={thresh}; "
+            "raise _SS_CAPACITY"
+        )
+    cand_ds = merged.filter(
+        lambda r: r["cnt"] >= thresh - err_total
+        and r["shingle"] not in (_SENT_N, _SENT_E)
+    )
+    cands = pa.array([r["shingle"] for r in cand_ds.take_all()], pa.string())
+    import ray as _ray
+
+    cand_ref = _ray.put(cands)
+
+    def exact_counts(b: pa.Table) -> pa.Table:
+        sh = _shingle_strings(b["text"])
+        if len(sh) == 0:
+            return pa.table(
+                {"shingle": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}
+            )
+        hits = sh.filter(pc.is_in(sh, value_set=_ray.get(cand_ref)))
+        vc = hits.value_counts()
+        return pa.table(
+            {
+                "shingle": vc.field("values").cast(pa.string()),
+                "cnt": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    exact = (
+        coalesce_for_shuffle(
+            docs.map_batches(exact_counts, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("shingle")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    return exact.filter(lambda r: r["cnt"] >= thresh)
+
+
+SQL_FREQUENT_SHINGLES = f"""WITH toks AS (
+  SELECT [t for t in string_split(text, ' ') if t <> ''] AS tk FROM documents
+), sh AS (
+  SELECT tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS shingle
+  FROM (SELECT tk, unnest(range(1, len(tk) - 1)) AS i FROM toks)
+), tot AS (SELECT COUNT(*) AS n FROM sh)
+SELECT shingle, COUNT(*) AS cnt FROM sh GROUP BY shingle
+HAVING COUNT(*) >= {_FREQ_PHI} * (SELECT n FROM tot)"""
+
+
 def q_top_terms(sf_dir: str):
     """Vocabulary heavy hitters: top-10 whitespace tokens per language by
     count (ties to the lexicographically smaller token). Per-batch partial

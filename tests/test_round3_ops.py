@@ -218,3 +218,54 @@ def test_purchase_window_events_matches_pandas_brute(ray_session):
         rows.append({"event_id": int(p["event_id"]), "n_in_window": n - 1})
     want = pd.DataFrame(rows).sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
+
+def test_frequent_shingles_truncated_summaries_stay_exact(ray_session, monkeypatch, tmp_path):
+    """Force the SpaceSaving truncation path on a skewed synthetic corpus
+    (hot phrases + a long random tail wider than the capacity): the merged
+    candidate superset guarantee plus the exact verify pass must still give
+    the exact HAVING-count answer."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq_w
+
+    from geo_ray.pipelines import queries as Q
+
+    rng = np.random.default_rng(42)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = ["hot0 hot1 hot2 hot3 " * 12 for _ in range(50)]
+    texts += [" ".join(rng.choice(vocab, 40)) for _ in range(150)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    pq_w.write_table(tbl, f"{tmp_path}/documents.parquet")
+
+    monkeypatch.setattr(Q, "_SS_CAPACITY", 64)
+    monkeypatch.setattr(Q, "_FREQ_PHI", 0.01)
+    got = (
+        Q.q_frequent_shingles(str(tmp_path))
+        .to_pandas()
+        .sort_values("shingle")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'")
+    want = (
+        con.sql(
+            """WITH toks AS (
+  SELECT [t for t in string_split(text, ' ') if t <> ''] AS tk FROM documents
+), sh AS (
+  SELECT tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2] AS shingle
+  FROM (SELECT tk, unnest(range(1, len(tk) - 1)) AS i FROM toks)
+), tot AS (SELECT COUNT(*) AS n FROM sh)
+SELECT shingle, COUNT(*) AS cnt FROM sh GROUP BY shingle
+HAVING COUNT(*) >= 0.01 * (SELECT n FROM tot)"""
+        )
+        .df()
+        .sort_values("shingle")
+        .reset_index(drop=True)
+    )
+    assert len(want) > 0  # skew actually produced heavy hitters
+    pd.testing.assert_frame_equal(got, want)
