@@ -56,7 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_bands": Q.q_order_price_bands,
         "pricing_summary": Q.q_pricing_summary,
         "customers_without_orders": Q.q_customers_without_orders,
-        "doc_len_quantiles": Q.q_doc_len_quantiles,
+        "dup_triangles": Q.q_dup_triangles,
         "price_quantile_sketch": Q.q_price_quantile_sketch,
         "user_distinct_hll": Q.q_user_distinct_hll,
         "customers_bloom_prefilter": Q.q_customers_bloom_prefilter,
@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": Q.q_parts_by_brand,
         "supplier_region_counts": Q.q_supplier_region_counts,
         "priority_order_stats": Q.q_priority_order_stats,
+        "doc_len_quantiles": Q.q_doc_len_quantiles,
         "ivf_topk": Q.q_ivf_topk,
         "event_hourly": Q.q_event_hourly,
         "revenue_by_nation": Q.q_revenue_by_nation,
@@ -209,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "purchase_window_events": Q.SQL_PURCHASE_WINDOW_EVENTS,
         "polyline_turn_angles": Q.SQL_POLYLINE_TURN_ANGLES,
         "frequent_shingles": Q.SQL_FREQUENT_SHINGLES,
+        "dup_triangles": Q.SQL_DUP_TRIANGLES,
         "contamination_flags": Q.SQL_CONTAMINATION_FLAGS,
         "curation_pipeline": Q.SQL_CURATION_PIPELINE,
         "snap_roads": Q.SQL_SNAP_ROADS,

@@ -153,6 +153,7 @@ def bench_queries(sf_dir: str):
         "segment_crossings": lambda: Q.q_segment_crossings(sf_dir),
         "purchase_window_events": lambda: Q.q_purchase_window_events(sf_dir),
         "frequent_shingles": lambda: Q.q_frequent_shingles(sf_dir),
+        "dup_triangles": lambda: Q.q_dup_triangles(sf_dir),
         # round-3 batch 2: ordered windows / rollup / semi / funnel
         "order_rank_pct": lambda: Q.q_order_rank_pct(sf_dir),
         "user_running_totals": lambda: Q.q_user_running_totals(sf_dir),

@@ -3223,6 +3223,137 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4"""
 
 
+def q_dup_triangles(sf_dir: str, tau: float = 0.25):
+    """DISTRIBUTED TRIANGLE COUNTING on the embedding near-dup graph
+    (tau=0.25 keeps the graph dense enough to have triangles): per-node
+    triangle membership counts — the clique-signal a dedup pipeline uses to
+    find tightly-knit duplicate clusters. Degree-oriented node-iterator
+    (see :mod:`geo_ray.stages.graph`): wedges generate only at the
+    (degree, node)-smallest apex, closing edges verify via a pair-key
+    co-partition; O(m^1.5) total work, hub-proof."""
+    from ray.data.aggregate import Count
+
+    from geo_ray.stages import ann as ann_st
+    from geo_ray.stages import graph as graph_st
+    from geo_ray.stages.agg import coalesce_for_shuffle, hash_bucket_apply
+    from geo_ray.stages.dedup import pack_pair_keys
+
+    path = f"{sf_dir}/embeddings.parquet"
+    ds = _rd().read_parquet(path, columns=["vec_id", "embedding"])
+    pairs = ds.map_batches(ann_st.CosineNearDup(tau=tau, path=path), batch_format="pyarrow")
+
+    def as_edges(b: pa.Table) -> pa.Table:
+        return pa.table({"u": b["vec_a"].cast(pa.int64()), "v": b["vec_b"].cast(pa.int64())})
+
+    edges = pairs.map_batches(as_edges, batch_format="pyarrow").materialize()
+    slots = edges.map_batches(graph_st.edge_slots, batch_format="pyarrow")
+    degs = (
+        coalesce_for_shuffle(slots)
+        .groupby("node")
+        .aggregate(Count(alias_name="deg"))
+    )
+
+    def deg_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": b["node"],
+                "other": b["deg"].cast(pa.int64()),
+                "kind": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    def slot_rows(b: pa.Table) -> pa.Table:
+        return b.append_column("kind", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+
+    def nbucket(b: pa.Table) -> pa.Table:
+        n = b["node"].to_numpy()
+        return b.append_column("bucket", pa.array(mix32_np(n) % np.int64(64)))
+
+    both = (
+        degs.map_batches(deg_rows, batch_format="pyarrow")
+        .union(slots.map_batches(slot_rows, batch_format="pyarrow"))
+        .map_batches(nbucket, batch_format="pyarrow")
+    )
+    annotated = hash_bucket_apply(both, "bucket", graph_st.attach_degrees)
+
+    def ebucket(b: pa.Table) -> pa.Table:
+        node = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
+        other = b["other"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ek = pack_pair_keys(np.minimum(node, other), np.maximum(node, other))
+        t = pa.table({"edge_key": pa.array(ek), "node": pa.array(node), "deg": b["deg"]})
+        return t.append_column("bucket", pa.array(mix32_np(ek) % np.int64(64)))
+
+    directed = hash_bucket_apply(
+        annotated.map_batches(ebucket, batch_format="pyarrow"), "bucket", graph_st.orient_edges
+    ).materialize()
+
+    def sbucket(b: pa.Table) -> pa.Table:
+        s = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("bucket", pa.array(mix32_np(s) % np.int64(64)))
+
+    wedges = hash_bucket_apply(
+        directed.map_batches(sbucket, batch_format="pyarrow"), "bucket", graph_st.gen_wedges
+    )
+
+    def edge_side(b: pa.Table) -> pa.Table:
+        src = b["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(src.size, dtype=np.int64)
+        return pa.table(
+            {
+                "pair_key": pa.array(pack_pair_keys(src, dst)),
+                "kind": pa.array(z),
+                "w1": pa.array(z),
+                "w2": pa.array(z),
+                "apex": pa.array(z),
+            }
+        )
+
+    def cand_side(b: pa.Table) -> pa.Table:
+        w1 = b["w1"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w2 = b["w2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "pair_key": pa.array(pack_pair_keys(w1, w2)),
+                "kind": pa.array(np.ones(w1.size, dtype=np.int64)),
+                "w1": pa.array(w1),
+                "w2": pa.array(w2),
+                "apex": b["apex"].cast(pa.int64()),
+            }
+        )
+
+    def pbucket(b: pa.Table) -> pa.Table:
+        k = b["pair_key"].to_numpy()
+        return b.append_column("bucket", pa.array(mix32_np(k) % np.int64(64)))
+
+    tagged = (
+        directed.map_batches(edge_side, batch_format="pyarrow")
+        .union(wedges.map_batches(cand_side, batch_format="pyarrow"))
+        .map_batches(pbucket, batch_format="pyarrow")
+    )
+    corners = hash_bucket_apply(tagged, "bucket", graph_st.close_wedges)
+    return (
+        coalesce_for_shuffle(corners)
+        .groupby("vec_id")
+        .aggregate(Count(alias_name="n_triangles"))
+    )
+
+
+SQL_DUP_TRIANGLES = """WITH e AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.25
+), t AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM e e1
+  JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+), corners AS (
+  SELECT a AS n FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t
+)
+SELECT n AS vec_id, COUNT(*) AS n_triangles FROM corners GROUP BY n"""
+
+
 # ---------------------------------------------------------------------------
 # co-partition (shuffle) join realizations — same oracles as the broadcast ones
 # ---------------------------------------------------------------------------
