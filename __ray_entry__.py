@@ -211,6 +211,8 @@ def oracle_sql() -> dict[str, str]:
         "polyline_turn_angles": Q.SQL_POLYLINE_TURN_ANGLES,
         "frequent_shingles": Q.SQL_FREQUENT_SHINGLES,
         "dup_triangles": Q.SQL_DUP_TRIANGLES,
+        "tile_pipeline": Q.SQL_TILE_PIPELINE,
+        "tile_pipeline_salted": Q.SQL_TILE_PIPELINE,
         "contamination_flags": Q.SQL_CONTAMINATION_FLAGS,
         "curation_pipeline": Q.SQL_CURATION_PIPELINE,
         "snap_roads": Q.SQL_SNAP_ROADS,

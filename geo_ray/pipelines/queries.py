@@ -3164,6 +3164,47 @@ def q_tile_pipeline(sf_dir: str):
     return ds.select_columns(["tile_key", "tile_x", "tile_y", "n_lines"])
 
 
+# The pipeline's (tile_key, tile_x, tile_y, n_lines) projection is SQL-
+# expressible even though the DP-simplify/encode payload is not: the tile
+# cover uses the ORIGINAL walk's bbox (tile.h:162-172 — cover before
+# simplification), so n_lines per tile = lines whose 24-vertex walk bbox
+# covers the tile. Walk twin mirrors stages/tiling.derive_walks exactly;
+# pixel/tile math reuses the pinned mercator twins.
+def _tile_pipeline_sql(zoom: int = 10) -> str:
+    ts = merc_k.DEFAULT_TILE_SIZE
+    one_x = 1 << 29
+    one_z = 1 << 58
+    return f"""{POINTS_CTE}, base AS (
+  SELECT doc_id AS d, lat AS lat0, lng AS lng0 FROM points WHERE pt_idx = 1
+), walk AS (
+  SELECT d,
+         LEAST(GREATEST(lat0 + 0.001 * SIN(s.step * (d % 7 + 1)), -85.0), 85.0) AS lat,
+         lng0 + 0.001 * COS(s.step * (d % 5 + 1)) AS lng
+  FROM base, (SELECT unnest(range(24)) AS step) s
+), bbox AS (
+  SELECT d, MIN(lat) AS lat_lo, MAX(lat) AS lat_hi, MIN(lng) AS lng_lo, MAX(lng) AS lng_hi
+  FROM walk GROUP BY d
+), corners AS (
+  SELECT d,
+         {sql_pixel_x('lng_lo', 10, ts)} // {ts} AS txa,
+         {sql_pixel_x('lng_hi', 10, ts)} // {ts} AS txb,
+         {sql_pixel_y('lat_lo', 10, ts)} // {ts} AS tya,
+         {sql_pixel_y('lat_hi', 10, ts)} // {ts} AS tyb
+  FROM bbox
+), tiles AS (
+  SELECT d, xs.tile_x AS tile_x, ys.tile_y AS tile_y
+  FROM corners,
+       LATERAL (SELECT unnest(range(LEAST(txa, txb), GREATEST(txa, txb) + 1)) AS tile_x) xs,
+       LATERAL (SELECT unnest(range(LEAST(tya, tyb), GREATEST(tya, tyb) + 1)) AS tile_y) ys
+)
+SELECT {zoom} * {one_z} + tile_x * {one_x} + tile_y AS tile_key,
+       tile_x, tile_y, COUNT(*) AS n_lines
+FROM tiles GROUP BY tile_x, tile_y"""
+
+
+SQL_TILE_PIPELINE = _tile_pipeline_sql()
+
+
 def q_tile_pipeline_salted(sf_dir: str):
     """Same pipeline with hot-tile salting enabled (threshold 8): output must
     be identical to the unsalted run — the skew path is semantics-preserving."""
