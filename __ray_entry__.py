@@ -213,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_triangles": Q.SQL_DUP_TRIANGLES,
         "tile_pipeline": Q.SQL_TILE_PIPELINE,
         "tile_pipeline_salted": Q.SQL_TILE_PIPELINE,
+        "polyline_encode": Q.SQL_POLYLINE_ENCODE,
         "contamination_flags": Q.SQL_CONTAMINATION_FLAGS,
         "curation_pipeline": Q.SQL_CURATION_PIPELINE,
         "snap_roads": Q.SQL_SNAP_ROADS,

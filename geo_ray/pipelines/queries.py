@@ -719,6 +719,38 @@ def q_polyline_encode(sf_dir: str):
     return ds.repartition(64).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# Google-polyline twin: llround quantization == ROUND half-away, zigzag via
+# sign CASE, the 5-bit varint unrolled as an unnest over chunk index with a
+# continuation-bit CASE, reassembled with an ordered string_agg — the full
+# codec (codec.cc semantics) in one SQL statement.
+SQL_POLYLINE_ENCODE = f"""{POINTS_CTE}, q AS (
+  SELECT doc_id, pt_idx,
+         CAST(ROUND(lat * 100000, 0) AS BIGINT) AS qlat,
+         CAST(ROUND(lng * 100000, 0) AS BIGINT) AS qlng
+  FROM points WHERE doc_id % 4 >= 2
+), d AS (
+  SELECT doc_id, pt_idx,
+         qlat - COALESCE(LAG(qlat) OVER w, 0) AS dlat,
+         qlng - COALESCE(LAG(qlng) OVER w, 0) AS dlng
+  FROM q WINDOW w AS (PARTITION BY doc_id ORDER BY pt_idx)
+), vals AS (
+  SELECT doc_id, pt_idx, comp.c AS comp,
+         CASE WHEN comp.c = 0
+              THEN (CASE WHEN dlat >= 0 THEN 2 * dlat ELSE -2 * dlat - 1 END)
+              ELSE (CASE WHEN dlng >= 0 THEN 2 * dlng ELSE -2 * dlng - 1 END) END AS v
+  FROM d, (SELECT unnest([0, 1]) AS c) comp
+), chunks AS (
+  SELECT doc_id, pt_idx, comp, i.i AS i,
+         chr(CAST((((v >> (5 * i.i)) & 31)
+                   | (CASE WHEN (v >> (5 * (i.i + 1))) > 0 THEN 32 ELSE 0 END)) + 63
+             AS INTEGER)) AS ch
+  FROM vals, (SELECT unnest(range(7)) AS i) i
+  WHERE i.i = 0 OR (v >> (5 * i.i)) > 0
+)
+SELECT doc_id, string_agg(ch, '' ORDER BY pt_idx, comp, i) AS encoded
+FROM chunks GROUP BY doc_id"""
+
+
 def q_simplify_masks(sf_dir: str):
     """Multi-zoom simplify masks of synthetic 24-vertex walks seeded per doc
     (make_simplify_mask semantics, simplify_mask.h:112-158)."""
