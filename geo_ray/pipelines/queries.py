@@ -2903,10 +2903,13 @@ def q_frequent_shingles(sf_dir: str):
         .aggregate(Sum("cnt", alias_name="cnt"))
         .materialize()
     )
+    def sentinels_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b["shingle"], value_set=pa.array([_SENT_N, _SENT_E])))
+
     sent = {
         r["shingle"]: r["cnt"]
-        for r in merged.filter(
-            lambda row: row["shingle"] in (_SENT_N, _SENT_E)
+        for r in merged.map_batches(
+            sentinels_only, batch_format="pyarrow", zero_copy_batch=True
         ).take_all()
     }
     n_total, err_total = int(sent[_SENT_N]), int(sent[_SENT_E])
@@ -2916,11 +2919,21 @@ def q_frequent_shingles(sf_dir: str):
             f"heavy-hitter guarantee broken: sum(err)={err_total} >= phi*N={thresh}; "
             "raise _SS_CAPACITY"
         )
-    cand_ds = merged.filter(
-        lambda r: r["cnt"] >= thresh - err_total
-        and r["shingle"] not in (_SENT_N, _SENT_E)
+
+    def candidates_only(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.greater_equal(
+                pc.cast(b["cnt"], pa.float64()), pa.scalar(thresh - err_total, pa.float64())
+            ),
+            pc.invert(pc.is_in(b["shingle"], value_set=pa.array([_SENT_N, _SENT_E]))),
+        )
+        return b.filter(keep)
+
+    cand_ds = merged.map_batches(candidates_only, batch_format="pyarrow", zero_copy_batch=True)
+    cands = pa.concat_arrays(
+        [b["shingle"].combine_chunks() for b in cand_ds.iter_batches(batch_format="pyarrow")]
+        or [pa.array([], pa.string())]
     )
-    cands = pa.array([r["shingle"] for r in cand_ds.take_all()], pa.string())
     import ray as _ray
 
     cand_ref = _ray.put(cands)
