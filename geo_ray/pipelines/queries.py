@@ -4695,9 +4695,15 @@ def q_segment_crossings(sf_dir: str):
     # parallelize (override_num_blocks cannot split one row group)
     segs = ds.repartition(32).map_batches(
         segjoin.doc_segments, batch_format="pyarrow", zero_copy_batch=True
-    )
+    ).materialize()
+    # tiny first pass: which levels have homed segments (<= 30 ints on the
+    # driver) — prunes probe emission to levels that can host a canonical cell
+    active = segjoin.active_home_levels(segs)
     cells = segs.map_batches(
-        segjoin.explode_cover_cells, batch_format="pyarrow", zero_copy_batch=True
+        segjoin.explode_cover_cells,
+        fn_kwargs={"active_levels": active},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
 
     def add_bucket(b: pa.Table) -> pa.Table:

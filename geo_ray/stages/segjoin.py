@@ -116,11 +116,46 @@ def _mix_seg(doc: np.ndarray, seg: np.ndarray) -> np.ndarray:
     return (h ^ (h >> np.int64(16))) & np.int64(0x7FFFFFFF)
 
 
-def explode_cover_cells(batch: pa.Table) -> pa.Table:
+def home_level_flags(batch: pa.Table) -> pa.Table:
+    """Per-batch partial: which grid levels have at least one segment homed
+    there — a (level, one) row per occupied level. The merged ~30-element
+    set drives probe pruning in :func:`explode_cover_cells`."""
+    x0 = np.minimum(batch["ax"].to_numpy(), batch["bx"].to_numpy())
+    x1 = np.maximum(batch["ax"].to_numpy(), batch["bx"].to_numpy())
+    y0 = np.minimum(batch["ay"].to_numpy(), batch["by"].to_numpy())
+    y1 = np.maximum(batch["ay"].to_numpy(), batch["by"].to_numpy())
+    lv = np.unique(_home_level(np.maximum(x1 - x0, y1 - y0)))
+    return pa.table(
+        {"level": pa.array(lv), "one": pa.array(np.ones(lv.size, dtype=np.int64))}
+    )
+
+
+def active_home_levels(segs_ds) -> frozenset[int]:
+    """Merged set of levels with >= 1 homed segment (tiny driver state:
+    at most LMAX+1 integers)."""
+    from ray.data.aggregate import Max
+
+    t = (
+        segs_ds.map_batches(home_level_flags, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("level")
+        .aggregate(Max("one", alias_name="m"))
+    )
+    return frozenset(int(r["level"]) for r in t.take_all())
+
+
+def explode_cover_cells(batch: pa.Table, active_levels=None) -> pa.Table:
     """segment rows -> (cell, home, is_home, doc_id, seg_idx, ax..by) rows:
-    bbox cover at the segment's home level and every coarser level; cover at
-    any level l <= home is at most 2x2 cells. Salted levels emit the home row
-    into its hash slice plus probe copies into the other slices."""
+    bbox cover at the segment's home level and every coarser ACTIVE level;
+    cover at any level l <= home is at most 2x2 cells. Salted levels emit the
+    home row into its hash slice plus probe copies into the other slices.
+
+    ``active_levels`` (from :func:`active_home_levels`) prunes probe
+    emission: a pair's canonical level is min(home_a, home_b), which by
+    definition has a homed segment, so probes at never-homed levels can't
+    participate in any pair. On local-extent geometry (homes concentrated at
+    fine levels) this collapses the emission from ~(home x SALT) rows per
+    segment to a handful and removes the world-spanning coarse cells from
+    the shuffle entirely. ``None`` emits at every level (always sound)."""
     cols = {c: batch[c].to_numpy() for c in batch.column_names}
     n = len(cols["doc_id"])
     if n == 0:
@@ -150,6 +185,8 @@ def explode_cover_cells(batch: pa.Table) -> pa.Table:
 
     # vectorized per level: all segments whose home >= l emit their cover at l
     for l in range(LMAX + 1):
+        if active_levels is not None and l not in active_levels:
+            continue
         m = np.flatnonzero(home >= l)
         if m.size == 0:
             continue
