@@ -3333,34 +3333,16 @@ def q_dup_triangles(sf_dir: str, tau: float = 0.25):
 
     edges = pairs.map_batches(as_edges, batch_format="pyarrow").materialize()
     slots = edges.map_batches(graph_st.edge_slots, batch_format="pyarrow")
-    degs = (
-        coalesce_for_shuffle(slots)
-        .groupby("node")
-        .aggregate(Count(alias_name="deg"))
-    )
-
-    def deg_rows(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": b["node"],
-                "other": b["deg"].cast(pa.int64()),
-                "kind": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
-            }
-        )
-
-    def slot_rows(b: pa.Table) -> pa.Table:
-        return b.append_column("kind", pa.array(np.ones(b.num_rows, dtype=np.int64)))
 
     def nbucket(b: pa.Table) -> pa.Table:
         n = b["node"].to_numpy()
         return b.append_column("bucket", pa.array(mix32_np(n) % np.int64(64)))
 
-    both = (
-        degs.map_batches(deg_rows, batch_format="pyarrow")
-        .union(slots.map_batches(slot_rows, batch_format="pyarrow"))
-        .map_batches(nbucket, batch_format="pyarrow")
+    # node co-partition holds every slot of a node, so the degree falls out
+    # as the run length — no separate degree groupby
+    annotated = hash_bucket_apply(
+        slots.map_batches(nbucket, batch_format="pyarrow"), "bucket", graph_st.attach_degrees
     )
-    annotated = hash_bucket_apply(both, "bucket", graph_st.attach_degrees)
 
     def ebucket(b: pa.Table) -> pa.Table:
         node = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)

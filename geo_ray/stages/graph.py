@@ -32,9 +32,9 @@ def edge_slots(batch: pa.Table) -> pa.Table:
 
 
 def attach_degrees(group):
-    """Node-bucket: rows (node, other, kind) where kind 0 = a degree carrier
-    (other = degree), kind 1 = an edge slot. Emits (node, other, deg) — the
-    slot annotated with its node's degree."""
+    """Node-bucket over edge slots: the bucket holds EVERY slot of each of
+    its nodes, so a node's degree is simply its run length — no separate
+    degree groupby or carrier-row union. Emits (node, other, deg)."""
     import pandas as pd
 
     node = group["node"].to_numpy(np.int64)
@@ -46,16 +46,13 @@ def attach_degrees(group):
                 "deg": np.array([], dtype=np.int64),
             }
         )
-    kind = group["kind"].to_numpy(np.int64)
     other = group["other"].to_numpy(np.int64)
-    order = np.lexsort((kind, node))
-    node, kind, other = node[order], kind[order], other[order]
+    order = np.argsort(node, kind="mergesort")
+    node, other = node[order], other[order]
     starts = np.flatnonzero(np.concatenate([[True], node[1:] != node[:-1]]))
     lens = np.diff(np.concatenate([starts, [node.size]]))
-    # first row of each run is the degree carrier (kind 0 sorts first)
-    deg = np.repeat(other[starts], lens)
-    keep = kind == 1
-    return pd.DataFrame({"node": node[keep], "other": other[keep], "deg": deg[keep]})
+    deg = np.repeat(lens, lens)
+    return pd.DataFrame({"node": node, "other": other, "deg": deg})
 
 
 def orient_edges(group):

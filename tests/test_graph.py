@@ -18,31 +18,16 @@ def _count(edges_uv, nb=5):
     u, v = (np.array(x, dtype=np.int64) for x in zip(*edges_uv))
     edges = rd.from_arrow(pa.table({"u": pa.array(u), "v": pa.array(v)}))
     slots = edges.map_batches(g.edge_slots, batch_format="pyarrow")
-    degs = slots.groupby("node").aggregate(Count(alias_name="deg"))
-
-    def deg_rows(b):
-        return pa.table(
-            {
-                "node": b["node"],
-                "other": b["deg"].cast(pa.int64()),
-                "kind": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
-            }
-        )
-
-    def slot_rows(b):
-        return b.append_column("kind", pa.array(np.ones(b.num_rows, dtype=np.int64)))
 
     def nbucket(b):
         return b.append_column(
             "bucket", pa.array(mix32_np(b["node"].to_numpy()) % np.int64(nb))
         )
 
-    both = (
-        degs.map_batches(deg_rows, batch_format="pyarrow")
-        .union(slots.map_batches(slot_rows, batch_format="pyarrow"))
-        .map_batches(nbucket, batch_format="pyarrow")
+    annotated = hash_bucket_apply(
+        slots.map_batches(nbucket, batch_format="pyarrow"), "bucket", g.attach_degrees,
+        num_blocks=nb,
     )
-    annotated = hash_bucket_apply(both, "bucket", g.attach_degrees, num_blocks=nb)
 
     def ebucket(b):
         node = b["node"].to_numpy(zero_copy_only=False).astype(np.int64)
