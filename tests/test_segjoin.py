@@ -98,3 +98,55 @@ def test_canonical_cell_exactly_once_on_synthetic_grid(ray_session):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got.astype(np.int64), want.astype(np.int64))
+
+
+def test_active_level_pruning_is_lossless(ray_session):
+    """Probe emission pruned to active home levels must leave the counted
+    pairs identical: a pair's canonical level always hosts a home row."""
+    import ray.data as rd
+
+    from geo_ray.stages import segjoin
+    from geo_ray.stages.agg import hash_bucket_apply
+
+    rng = np.random.default_rng(23)
+    n = 150
+    ax = rng.integers(-170_000_000, 170_000_000, n)
+    ay = rng.integers(-80_000_000, 80_000_000, n)
+    span = np.where(rng.random(n) < 0.6, 20_000, 90_000_000)
+    bx = np.clip(ax + rng.integers(-1, 2, n) * span, -179_999_999, 179_999_999)
+    by = np.clip(ay + rng.integers(-1, 2, n) * span, -89_999_999, 89_999_999)
+    segs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "seg_idx": pa.array(np.ones(n, dtype=np.int64)),
+            "ax": pa.array(ax.astype(np.int64)),
+            "ay": pa.array(ay.astype(np.int64)),
+            "bx": pa.array(bx.astype(np.int64)),
+            "by": pa.array(by.astype(np.int64)),
+        }
+    )
+    active = segjoin.active_home_levels(rd.from_arrow(segs))
+    assert 0 < len(active) <= segjoin.LMAX + 1
+
+    def run(active_levels):
+        cells = segjoin.explode_cover_cells(segs, active_levels=active_levels)
+        c = cells["cell"].to_numpy()
+        ds = rd.from_arrow(cells.append_column("bucket", pa.array(c % np.int64(7))))
+        out = hash_bucket_apply(ds, "bucket", segjoin.cell_crossing_counts, num_blocks=7)
+        df = (
+            out.to_pandas()
+            .groupby(["doc_id", "seg_idx"], as_index=False)["n_partial"]
+            .sum()
+            .sort_values(["doc_id", "seg_idx"])
+            .reset_index(drop=True)
+        )
+        return df
+
+    pruned = run(active)
+    full = run(None)
+    pd.testing.assert_frame_equal(pruned, full)
+    # pruning actually removed rows on this mixed corpus
+    assert (
+        segjoin.explode_cover_cells(segs, active_levels=active).num_rows
+        <= segjoin.explode_cover_cells(segs).num_rows
+    )
