@@ -64,9 +64,14 @@ def apply(ds, name: str, *, batch_size=None, **kwargs):
 def _register_builtins() -> None:
     from geo_ray.stages import cells, media, spans, text
     from geo_ray.stages.dedup import minhash_bands, simhash64
+    from geo_ray.stages.graph import edge_slots
+    from geo_ray.stages.segjoin import doc_segments, explode_cover_cells
     from geo_ray.stages.tiling import lines_to_tile_rows
 
     for name, fn in {
+        "doc_segments": doc_segments,
+        "segment_cover_cells": explode_cover_cells,
+        "edge_slots": edge_slots,
         "synthesize_spans": spans.synthesize_spans,
         "explode_points": spans.explode_points,
         "assign_cells": cells.assign_cells,
