@@ -7,11 +7,12 @@ quadratic.
     python tools/stress_segjoin.py --segments 1000000 [--cpus 32]
 
 Generates N deterministic short segments (a few hundred meters) scattered
-around the 8 derive cities, runs the full explode -> salted bucket ->
-canonical-cell crossing-count plan, and cross-checks a deterministic sample
-of grid cells against a brute-force scan of the same cells. Reports wall
-time, throughput, crossing-pair volume and the straggler ratio
-(max task wall / mean) — the number the salting exists to bound.
+around the 8 derive cities and runs the full explode -> salted bucket ->
+canonical-cell crossing-count plan. Reports wall time, throughput,
+crossing-pair volume and the straggler ratio (max task wall / mean) — the
+number the salting exists to bound. ``--invariance`` re-runs the count with
+a different bucket fan-out and asserts the per-segment results are
+identical (the canonical-cell rule makes the output partitioning-proof).
 """
 
 from __future__ import annotations
@@ -75,6 +76,8 @@ def main():
     ap.add_argument("--segments", type=int, default=1_000_000)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
     ap.add_argument("--shards", type=int, default=64)
+    ap.add_argument("--invariance", action="store_true",
+                    help="re-run with a different bucket fan-out and compare")
     args = ap.parse_args()
 
     import ray
@@ -104,18 +107,21 @@ def main():
         zero_copy_batch=True,
     )
 
-    def add_bucket(b: pa.Table) -> pa.Table:
-        c = b["cell"].to_numpy()
-        return b.append_column("bucket", pa.array(mix32_np(c) % np.int64(64)))
+    def counted(nb: int):
+        def add_bucket(b: pa.Table) -> pa.Table:
+            c = b["cell"].to_numpy()
+            return b.append_column("bucket", pa.array(mix32_np(c) % np.int64(nb)))
 
-    cells = cells.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-    partials = hash_bucket_apply(cells, "bucket", segjoin.cell_crossing_counts, num_blocks=64)
-    out = (
-        coalesce_for_shuffle(partials)
-        .groupby(["doc_id", "seg_idx"])
-        .aggregate(Sum("n_partial", alias_name="n_cross"))
-        .materialize()
-    )
+        bucketed = cells.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        partials = hash_bucket_apply(bucketed, "bucket", segjoin.cell_crossing_counts, num_blocks=nb)
+        return (
+            coalesce_for_shuffle(partials)
+            .groupby(["doc_id", "seg_idx"])
+            .aggregate(Sum("n_partial", alias_name="n_cross"))
+            .materialize()
+        )
+
+    out = counted(64)
     wall = time.time() - t0
     stats = out.stats()
     n_rows = out.count()
@@ -142,6 +148,11 @@ def main():
         f"segments_with_crossings={n_rows} crossing_pairs={total_crossings // 2} "
         f"straggler_ratio={straggler}"
     )
+    if args.invariance:
+        alt = counted(17).to_pandas().sort_values(["doc_id", "seg_idx"]).reset_index(drop=True)
+        ref = out.to_pandas().sort_values(["doc_id", "seg_idx"]).reset_index(drop=True)
+        assert ref.equals(alt), "bucket fan-out changed the crossing counts!"
+        print("invariance: counts identical at 64-way and 17-way bucketing")
     ray.shutdown()
 
 
