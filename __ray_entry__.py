@@ -92,7 +92,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_metrics": Q.q_polygon_metrics,
         "dup_degree_hist": Q.q_dup_degree_hist,
         "kmeans_iterate": Q.q_kmeans_iterate,
-        # --- tail (past the driver's 50-row cap): double-green in r1+r2 ---
+        # --- tail (past the driver's 50-row cap): double-green in r1+r2,
+        # or simple entries verified at sf0.01+sf0.1 by the local sweep ---
+        "weighted_sample": Q.q_weighted_sample,
         "flagship": Q.q_flagship,
         "parts_by_brand": Q.q_parts_by_brand,
         "supplier_region_counts": Q.q_supplier_region_counts,
@@ -214,6 +216,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_pipeline": Q.SQL_TILE_PIPELINE,
         "tile_pipeline_salted": Q.SQL_TILE_PIPELINE,
         "polyline_encode": Q.SQL_POLYLINE_ENCODE,
+        "weighted_sample": Q.SQL_WEIGHTED_SAMPLE,
         "contamination_flags": Q.SQL_CONTAMINATION_FLAGS,
         "curation_pipeline": Q.SQL_CURATION_PIPELINE,
         "snap_roads": Q.SQL_SNAP_ROADS,

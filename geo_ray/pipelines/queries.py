@@ -4088,6 +4088,58 @@ def q_doc_sample(sf_dir: str):
 SQL_DOC_SAMPLE = f"SELECT doc_id FROM documents WHERE {mix32_sql('doc_id')} % 100 < 10"
 
 
+def q_weighted_sample(sf_dir: str, k: int = 20):
+    """WEIGHTED sampling without replacement (Efraimidis–Spirakis A-ES):
+    the k orders with the largest exponential-jitter key ln(u)/weight,
+    weight = o_totalprice, u = (mix32(o_orderkey)+1)/2^32 — deterministic
+    (no RNG), so the SQL twin selects the identical sample. Distributed as
+    per-block partial top-k (each block emits <= k rows) + one tiny final
+    top-k — the same tree shape as ann_topk, never a global sort."""
+    def partial(b: pa.Table) -> pa.Table:
+        key_id = b["o_orderkey"].to_numpy().astype(np.int64)
+        w = b["o_totalprice"].to_numpy()
+        u = (mix32_np(key_id).astype(np.float64) + 1.0) / 4294967296.0
+        s = np.log(u) / w
+        if s.size > k:
+            # top-k largest keys; exact order resolved in the final stage
+            idx = np.argpartition(-s, k - 1)[:k]
+        else:
+            idx = np.arange(s.size)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(key_id[idx]),
+                "o_totalprice": pa.array(w[idx]),
+                "s": pa.array(s[idx]),
+            }
+        )
+
+    def finish(g):
+        import pandas as pd
+
+        g = g.sort_values(["s", "o_orderkey"], ascending=[False, True], kind="mergesort")
+        return g.head(k)[["o_orderkey", "o_totalprice"]]
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def const_key(b: pa.Table) -> pa.Table:
+        return b.append_column("g", pa.array(np.zeros(b.num_rows, dtype=np.int64)))
+
+    from geo_ray.stages.agg import hash_bucket_apply
+
+    return hash_bucket_apply(
+        parts.map_batches(const_key, batch_format="pyarrow"), "g", finish, num_blocks=1
+    )
+
+
+SQL_WEIGHTED_SAMPLE = f"""SELECT o_orderkey, o_totalprice FROM orders
+QUALIFY ROW_NUMBER() OVER (
+  ORDER BY LN(({mix32_sql('o_orderkey')} + 1) / 4294967296.0) / o_totalprice DESC,
+           o_orderkey
+) <= 20"""
+
+
 def q_parts_by_brand(sf_dir: str):
     """Part count + exact-cents total retail price per brand: bounded-domain
     partial aggregate + tree combine (same pattern as priority stats)."""
