@@ -4431,6 +4431,97 @@ SELECT user_id, COUNT(gap_us) AS n_gaps,
 FROM d GROUP BY user_id"""
 
 
+def q_value_hour_corr(sf_dir: str):
+    """Distributed Pearson correlation (event value vs hour-of-day, per
+    event type) from EXACT integer moment partials: each block reduces to
+    (n, Σx, Σx², Σxy, Σy, Σy²) with the wide sums base-1e6 (quot, rem)
+    split (x = value cents, y = hour 0-23), a tiny groupby merges them, and
+    the final coefficient is one fixed IEEE expression over the exact
+    integers — bit-identical to the DuckDB twin computing the same
+    expression from the same sums."""
+    from ray.data.aggregate import Sum
+
+    M = 1_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        x = fixed_k.round_half_away(b["value"].to_numpy() * 100.0, 0).astype(np.int64)
+        y = (b["ts"].cast(pa.int64()).to_numpy() // _HOUR_US) % 24
+        codes, idx = np.unique(et, return_inverse=True)
+        def bc(w):
+            return np.bincount(idx, weights=w, minlength=codes.size).astype(np.int64)
+        xx, xy = x * x, x * y
+        return pa.table(
+            {
+                "event_type": pa.array(codes.tolist()),
+                "n": pa.array(np.bincount(idx, minlength=codes.size).astype(np.int64)),
+                "sx_q": pa.array(bc(x // M)),
+                "sx_r": pa.array(bc(x % M)),
+                "sxx_q": pa.array(bc(xx // M)),
+                "sxx_r": pa.array(bc(xx % M)),
+                "sxy_q": pa.array(bc(xy // M)),
+                "sxy_r": pa.array(bc(xy % M)),
+                "sy": pa.array(bc(y)),
+                "syy": pa.array(bc(y * y)),
+            }
+        )
+
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value", "ts"])
+    sums = (
+        coalesce_for_shuffle(ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True))
+        .groupby("event_type")
+        .aggregate(
+            *[
+                Sum(c, alias_name=c)
+                for c in ("n", "sx_q", "sx_r", "sxx_q", "sxx_r", "sxy_q", "sxy_r", "sy", "syy")
+            ]
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        f = lambda c: b[c].to_numpy().astype(np.float64)  # noqa: E731
+        n = f("n")
+        sx = f("sx_q") * 1e6 + f("sx_r")
+        sxx = f("sxx_q") * 1e6 + f("sxx_r")
+        sxy = f("sxy_q") * 1e6 + f("sxy_r")
+        sy, syy = f("sy"), f("syy")
+        corr = (n * sxy - sx * sy) / np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "n": b["n"],
+                "corr": pa.array(fixed_k.round_half_away(corr, 6)),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_VALUE_HOUR_CORR = """WITH m AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(x // 1000000) AS sx_q, SUM(x % 1000000) AS sx_r,
+         SUM((x * x) // 1000000) AS sxx_q, SUM((x * x) % 1000000) AS sxx_r,
+         SUM((x * y) // 1000000) AS sxy_q, SUM((x * y) % 1000000) AS sxy_r,
+         SUM(y) AS sy, SUM(y * y) AS syy
+  FROM (
+    SELECT event_type,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS x,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y
+    FROM events
+  ) GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND((n::DOUBLE * (sxy_q::DOUBLE * 1e6 + sxy_r::DOUBLE)
+              - (sx_q::DOUBLE * 1e6 + sx_r::DOUBLE) * sy::DOUBLE)
+             / SQRT((n::DOUBLE * (sxx_q::DOUBLE * 1e6 + sxx_r::DOUBLE)
+                     - (sx_q::DOUBLE * 1e6 + sx_r::DOUBLE) * (sx_q::DOUBLE * 1e6 + sx_r::DOUBLE))
+                    * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6) AS corr
+FROM m"""
+
+
 def q_value_outliers(sf_dir: str):
     """Per-type z-score outlier filter: events with value > mean + 2·σ of
     their event_type.
