@@ -59,9 +59,8 @@ def doc_segments(batch: pa.Table) -> pa.Table:
     from geo_ray.sources import derive
 
     doc_id = batch["doc_id"].to_numpy().astype(np.int64)
-    n_pts = doc_id % 4
-    keep = n_pts >= 2
-    docs, counts = doc_id[keep], n_pts[keep]
+    keep = doc_id % 4 >= 2
+    docs = doc_id[keep]
     if docs.size == 0:
         return pa.table(
             {
