@@ -153,3 +153,42 @@ def test_stale_kernel_version_partitions_rebuild(ray_session, tmp_path):
     s2 = run_resumable(frags, build_unit("/root/testdata/sf0.001"), out, unit_size=2)
     assert s2["skipped"] == 1  # only the current-version partition skips
     assert s2["rows_out"] > 0  # the stale one was rebuilt
+
+
+def test_ann_index_job_build_query_and_resume(ray_session, tmp_path):
+    """Persisted IVF index: crash-resume completes the build, and the
+    centroid-pruned query path over the artifact returns exactly the
+    corpus-scan IVF pipeline's answer."""
+    import pandas as pd
+
+    from geo_ray.pipelines import queries as Q
+    from geo_ray.state.checkpoint import Fragment, run_resumable
+    from jobs.ann_index_job import build_unit, query_index
+
+    out = str(tmp_path / "ivf_index")
+    frags = [
+        Fragment(
+            part_id=f"shard{s}",
+            input_files=[f"{SF}/embeddings.parquet"],
+            params={"shard": s, "n_shards": 4},
+        )
+        for s in range(4)
+    ]
+    s1 = run_resumable(frags, build_unit(SF), out, unit_size=2, max_units=1)
+    assert s1["units"] == 1  # simulated crash after the first unit
+    s2 = run_resumable(frags, build_unit(SF), out, unit_size=2)
+    assert s2["skipped"] == 2 and s2["completed_total"] == 4
+
+    got = (
+        query_index(out)
+        .to_pandas()
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    want = (
+        Q.q_ivf_topk(SF)
+        .to_pandas()
+        .sort_values(["query_id", "vec_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
