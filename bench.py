@@ -154,6 +154,9 @@ def bench_queries(sf_dir: str):
         "purchase_window_events": lambda: Q.q_purchase_window_events(sf_dir),
         "frequent_shingles": lambda: Q.q_frequent_shingles(sf_dir),
         "dup_triangles": lambda: Q.q_dup_triangles(sf_dir),
+        "polyline_turn_angles": lambda: Q.q_polyline_turn_angles(sf_dir),
+        "weighted_sample": lambda: Q.q_weighted_sample(sf_dir),
+        "value_hour_corr": lambda: Q.q_value_hour_corr(sf_dir),
         # round-3 batch 2: ordered windows / rollup / semi / funnel
         "order_rank_pct": lambda: Q.q_order_rank_pct(sf_dir),
         "user_running_totals": lambda: Q.q_user_running_totals(sf_dir),
