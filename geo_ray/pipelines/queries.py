@@ -171,6 +171,52 @@ SQL_POINT_DISTANCE = (
 )
 
 
+def q_approx_distance(sf_dir: str):
+    """Equirectangular approx squared distance to Frankfurt (SURVEY §2 #2 —
+    approx_squared_distance with the meters-per-lng-degree factor evaluated
+    at each point, latlng.cc semantics incl. antimeridian wrap). Pure
+    closed-form arithmetic, so the SQL twin is the identical expression."""
+    def stage(b: pa.Table) -> pa.Table:
+        lat = b["lat"].to_numpy()
+        lng = b["lng"].to_numpy()
+        adl = dist_k.approx_distance_lng_degrees(lat, lng)
+        d2 = dist_k.approx_squared_distance(lat, lng, FRANKFURT[0], FRANKFURT[1], adl)
+        # report in meters: squared-m magnitudes (~1e14) put 3-decimal
+        # rounding below the ulp, so the twin compares sqrt instead
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "pt_idx": b["pt_idx"],
+                "approx_d_m": pa.array(fixed_k.round_half_away(np.sqrt(d2), 3)),
+            }
+        )
+
+    return points_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# meters-per-lng-degree at the point, mirroring the NumPy kernel's exact op
+# order: dlat = 0 (so the u term vanishes), dlng = RADIANS((lng+d) - lng)
+# (NOT radians(lng+d) - radians(lng) — the float difference differs in the
+# last ulp, which the later multiply/sqrt amplify past 3-decimal rounding)
+_SQL_ADL = (
+    "2.0 * 6371000.0 * ASIN(LEAST(1.0, SQRT("
+    "((COS(RADIANS(lat)) * COS(RADIANS(lat)))"
+    " * SIN(RADIANS((lng + (CASE WHEN lng < 0.0 THEN 1.0 ELSE -1.0 END)) - lng) / 2.0))"
+    " * SIN(RADIANS((lng + (CASE WHEN lng < 0.0 THEN 1.0 ELSE -1.0 END)) - lng) / 2.0)"
+    ")))"
+)
+
+SQL_APPROX_DISTANCE = f"""{POINTS_CTE}, t AS (
+  SELECT doc_id, pt_idx,
+         ABS(lat - {FRANKFURT[0]!r}) * {float(APPROX_DISTANCE_LAT_DEGREES)!r} AS y,
+         (CASE WHEN ABS(lng - {FRANKFURT[1]!r}) > 180.0
+               THEN 360.0 - ABS(lng - {FRANKFURT[1]!r})
+               ELSE ABS(lng - {FRANKFURT[1]!r}) END) * ({_SQL_ADL}) AS x
+  FROM points
+)
+SELECT doc_id, pt_idx, ROUND(SQRT(x * x + y * y), 3) AS approx_d_m FROM t"""
+
+
 def q_point_bearing(sf_dir: str):
     def stage(b: pa.Table) -> pa.Table:
         brg = bearing_k.bearing(b["lat"].to_numpy(), b["lng"].to_numpy(), *FRANKFURT)
