@@ -3922,6 +3922,84 @@ SQL_TOKEN_COUNTS_BPE = (
 )
 
 
+def q_revenue_by_priority(sf_dir: str):
+    """lineitem ⨝ orders via the SHUFFLE inner join (tagged key co-partition,
+    stages/join.tagged_inner_join) — the fact x fact realization where
+    neither side broadcasts (the scale sibling of q_revenue_by_nation's
+    broadcast plan) — then exact-cents revenue per order priority with
+    base-1e6 (quot, rem) partial sums (int64-safe at 10^12 rows)."""
+    from ray.data.aggregate import Sum
+
+    from geo_ray.stages.agg import coalesce_for_shuffle
+    from geo_ray.stages.join import tagged_inner_join
+
+    M = 1_000_000
+    rd = _rd()
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    joined = tagged_inner_join(
+        li, orders, left_key="l_orderkey", right_key="o_orderkey",
+        right_cols=["o_orderpriority"],
+    )
+
+    def partial(b):
+        import pandas as pd
+
+        price_c = np.rint(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.rint((1.0 - b["l_discount"].to_numpy()) * 100).astype(np.int64)
+        rev = price_c * disc_c  # exact 1e-4 currency units
+        pr = b["o_orderpriority"].to_numpy()
+        codes, idx = np.unique(pr, return_inverse=True)
+        def bc(w):
+            return np.bincount(idx, weights=w, minlength=codes.size).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "o_orderpriority": codes,
+                "rev_q": bc(rev // M),
+                "rev_r": bc(rev % M),
+                "n_items": np.bincount(idx, minlength=codes.size).astype(np.int64),
+            }
+        )
+
+    sums = (
+        coalesce_for_shuffle(joined.map_batches(partial, batch_format="pandas"))
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("rev_q", alias_name="rev_q"),
+            Sum("rev_r", alias_name="rev_r"),
+            Sum("n_items", alias_name="n_items"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        rev = (
+            b["rev_q"].to_numpy().astype(np.float64) * 1e6
+            + b["rev_r"].to_numpy().astype(np.float64)
+        ) / 10000.0
+        return pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "n_items": b["n_items"],
+                "revenue": pa.array(fixed_k.round_half_away(rev, 2)),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_REVENUE_BY_PRIORITY = """WITH j AS (
+  SELECT o.o_orderpriority,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * CAST(ROUND((1.0 - l.l_discount) * 100) AS BIGINT) AS rev
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       ROUND((SUM(rev // 1000000)::DOUBLE * 1e6 + SUM(rev % 1000000)::DOUBLE) / 10000.0, 2) AS revenue
+FROM j GROUP BY o_orderpriority"""
+
+
 # ---------------------------------------------------------------------------
 # broadcast dimension joins + exact-integer aggregation (engine generality)
 # ---------------------------------------------------------------------------

@@ -191,3 +191,95 @@ def tagged_semi_join(probe_ds, match_ds, probe_key, match_key=None, num_buckets:
     return tagged_anti_join(
         probe_ds, match_ds, probe_key, exclude_key=match_key, num_buckets=num_buckets, mode="semi"
     )
+
+
+def tagged_inner_join(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    right_cols: list[str],
+    num_buckets: int = 64,
+):
+    """Large x large INNER equi-join through ONE key co-partition — the
+    scale-safe sibling of :class:`BroadcastHashJoin` for fact x fact joins
+    where neither side fits a broadcast. Both sides hash-bucket on the int64
+    join key; the right side ships ONLY (key, right_cols); inside a bucket
+    the right rows sort by key and every left row expands to its matching
+    run via two binary searches — exact 1:N/N:M multiplicity, no pair
+    materialization beyond the true join output. Left payload columns ride
+    the shuffle untouched; output = left columns + right_cols.
+
+    Hot join keys concentrate a bucket (all rows of a key co-locate by
+    design); mitigate upstream by pre-aggregating the left side per key when
+    the downstream is an aggregate, or salt the left and replicate only the
+    hot right keys (same recipe as stages/tiling hot-tile salting).
+    """
+    lschema = left_ds.schema()
+    ltypes = dict(zip(lschema.names, lschema.types))
+    lcarry = [c for c in lschema.names if c != left_key]
+    rschema = right_ds.schema()
+    rtypes = dict(zip(rschema.names, rschema.types))
+    nb = np.int64(num_buckets)
+
+    def _dummy(n: int, t: pa.DataType) -> pa.Array:
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return pa.nulls(n, t).fill_null("")
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+            return pa.nulls(n, t).fill_null(b"")
+        try:
+            return pa.array(np.zeros(n, dtype=np.int64)).cast(t)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+            return pa.nulls(n, t)
+
+    def _tag(b: pa.Table, key: str, side_val: int) -> pa.Table:
+        k = b[key]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        k = k.cast(pa.int64())
+        kn = k.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(k)
+        cols = {"_k": k}
+        for c in lcarry:
+            cols[c] = b[c] if side_val == 1 else _dummy(n, ltypes[c])
+        for c in right_cols:
+            cols[c] = b[c] if side_val == 0 else _dummy(n, rtypes[c])
+        cols["_side"] = pa.array(np.full(n, side_val, dtype=np.int64))
+        cols["_jb"] = pa.array((_mix_keys([kn]) % np.uint64(nb)).astype(np.int64))
+        return pa.table(cols)
+
+    def join_bucket(g):
+        side = g["_side"].to_numpy()
+        r = g[side == 0]
+        l = g[side == 1]
+        out_cols = ["_k"] + lcarry + right_cols
+        if len(r) == 0 or len(l) == 0:
+            return l.iloc[0:0][out_cols].rename(columns={"_k": left_key})
+        rk = r["_k"].to_numpy(np.int64)
+        order = np.argsort(rk, kind="mergesort")
+        rk = rk[order]
+        lk = l["_k"].to_numpy(np.int64)
+        lo = np.searchsorted(rk, lk, side="left")
+        hi = np.searchsorted(rk, lk, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return l.iloc[0:0][out_cols].rename(columns={"_k": left_key})
+        li = np.repeat(np.arange(lk.size, dtype=np.int64), cnt)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        ri = np.repeat(lo, cnt) + offs
+        out = l.iloc[li].reset_index(drop=True)
+        for c in right_cols:
+            out[c] = r[c].to_numpy()[order][ri]
+        return out[out_cols].rename(columns={"_k": left_key})
+
+    from geo_ray.stages.agg import hash_bucket_apply
+
+    both = right_ds.map_batches(
+        lambda b: _tag(b, right_key, 0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        left_ds.map_batches(
+            lambda b: _tag(b, left_key, 1), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    return hash_bucket_apply(both, "_jb", join_bucket, num_blocks=num_buckets)

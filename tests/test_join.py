@@ -129,3 +129,52 @@ def test_cross_snapshot_dedup_with_real_dups(ray_session, tmp_path):
     want = sorted(r[0] for r in con.sql(Q.SQL_CROSS_SNAPSHOT_DEDUP).fetchall())
     assert got == want
     assert len(got) < 20  # some odd docs actually got excluded
+
+
+def test_tagged_inner_join_matches_pandas_merge(ray_session):
+    """N:M multiplicity, missing keys on either side, payload carry — the
+    shuffle inner join must equal a pandas merge exactly."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geo_ray.stages.join import tagged_inner_join
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 40, 300),
+            "lv": rng.integers(0, 1000, 300),
+            "name": [f"l{i%7}" for i in range(300)],
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "rk": rng.integers(10, 60, 120),
+            "rv": rng.integers(0, 1000, 120),
+        }
+    )
+    got = (
+        tagged_inner_join(
+            rd.from_arrow(pa.Table.from_pandas(left)),
+            rd.from_arrow(pa.Table.from_pandas(right)),
+            left_key="k",
+            right_key="rk",
+            right_cols=["rv"],
+            num_buckets=7,
+        )
+        .to_pandas()
+        .sort_values(["k", "lv", "name", "rv"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    want = (
+        left.merge(right, left_on="k", right_on="rk", how="inner")
+        .drop(columns=["rk"])
+        .sort_values(["k", "lv", "name", "rv"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "lv", "name", "rv"]].astype({"k": "int64", "lv": "int64", "rv": "int64"}),
+        want[["k", "lv", "name", "rv"]].astype({"k": "int64", "lv": "int64", "rv": "int64"}),
+    )
