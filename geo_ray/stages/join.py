@@ -200,6 +200,8 @@ def tagged_inner_join(
     right_key: str,
     right_cols: list[str],
     num_buckets: int = 64,
+    hot_keys=None,
+    n_salt: int = 8,
 ):
     """Large x large INNER equi-join through ONE key co-partition — the
     scale-safe sibling of :class:`BroadcastHashJoin` for fact x fact joins
@@ -211,9 +213,11 @@ def tagged_inner_join(
     the shuffle untouched; output = left columns + right_cols.
 
     Hot join keys concentrate a bucket (all rows of a key co-locate by
-    design); mitigate upstream by pre-aggregating the left side per key when
-    the downstream is an aggregate, or salt the left and replicate only the
-    hot right keys (same recipe as stages/tiling hot-tile salting).
+    design); pass ``hot_keys`` (a small int64 array, e.g. from a sampling
+    count pass) to SALT them: hot left rows spread over ``n_salt`` sub-
+    buckets by a row hash while hot right rows replicate into every
+    sub-bucket — each left row still meets all of its matches exactly once,
+    so the salted plan is output-identical (pytest-pinned).
     """
     lschema = left_ds.schema()
     ltypes = dict(zip(lschema.names, lschema.types))
@@ -245,8 +249,29 @@ def tagged_inner_join(
         for c in right_cols:
             cols[c] = b[c] if side_val == 0 else _dummy(n, rtypes[c])
         cols["_side"] = pa.array(np.full(n, side_val, dtype=np.int64))
-        cols["_jb"] = pa.array((_mix_keys([kn]) % np.uint64(nb)).astype(np.int64))
-        return pa.table(cols)
+        base = (_mix_keys([kn]) % np.uint64(nb)).astype(np.int64)
+        if hot_keys is None or len(hot_keys) == 0:
+            cols["_jb"] = pa.array(base)
+            return pa.table(cols)
+        hot = np.isin(kn, hot_keys)
+        if not hot.any():
+            cols["_jb"] = pa.array(base)
+            return pa.table(cols)
+        t = pa.table(cols)
+        if side_val == 1:
+            # left: hot rows spread over n_salt sub-buckets by a row hash
+            salt = (_mix_keys([kn + 1]) % np.uint64(n_salt)).astype(np.int64)
+            jb = np.where(hot, nb + base * n_salt + salt, base)
+            return t.append_column("_jb", pa.array(jb))
+        # right: hot rows replicate into every sub-bucket of their key
+        cold = t.filter(pa.array(~hot)).append_column("_jb", pa.array(base[~hot]))
+        pieces = [cold]
+        hsel = np.flatnonzero(hot)
+        hb = base[hsel]
+        ht = t.take(pa.array(hsel))
+        for s in range(n_salt):
+            pieces.append(ht.append_column("_jb", pa.array(nb + hb * n_salt + s)))
+        return pa.concat_tables(pieces)
 
     def join_bucket(g):
         side = g["_side"].to_numpy()
@@ -282,4 +307,5 @@ def tagged_inner_join(
             lambda b: _tag(b, left_key, 1), batch_format="pyarrow", zero_copy_batch=True
         )
     )
-    return hash_bucket_apply(both, "_jb", join_bucket, num_blocks=num_buckets)
+    blocks = num_buckets if hot_keys is None or len(hot_keys) == 0 else num_buckets * (1 + n_salt)
+    return hash_bucket_apply(both, "_jb", join_bucket, num_blocks=min(blocks, 256))

@@ -178,3 +178,44 @@ def test_tagged_inner_join_matches_pandas_merge(ray_session):
         got[["k", "lv", "name", "rv"]].astype({"k": "int64", "lv": "int64", "rv": "int64"}),
         want[["k", "lv", "name", "rv"]].astype({"k": "int64", "lv": "int64", "rv": "int64"}),
     )
+
+
+def test_tagged_inner_join_salted_hot_keys_identical(ray_session):
+    """A hot key owning half the left side: the salted plan (hot left rows
+    spread over sub-buckets, hot right rows replicated) must be
+    output-identical to the unsalted join."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geo_ray.stages.join import tagged_inner_join
+
+    rng = np.random.default_rng(9)
+    k = np.where(rng.random(400) < 0.5, 7, rng.integers(0, 50, 400))
+    left = pd.DataFrame({"k": k, "lv": np.arange(400, dtype=np.int64)})
+    right = pd.DataFrame(
+        {"rk": rng.integers(0, 50, 150), "rv": rng.integers(0, 99, 150)}
+    )
+
+    def run(hot):
+        return (
+            tagged_inner_join(
+                rd.from_arrow(pa.Table.from_pandas(left)),
+                rd.from_arrow(pa.Table.from_pandas(right)),
+                left_key="k",
+                right_key="rk",
+                right_cols=["rv"],
+                num_buckets=11,
+                hot_keys=hot,
+                n_salt=4,
+            )
+            .to_pandas()
+            .sort_values(["k", "lv", "rv"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    plain = run(None)
+    salted = run(np.array([7], dtype=np.int64))
+    assert len(plain) > 0
+    pd.testing.assert_frame_equal(plain, salted)
