@@ -222,8 +222,16 @@ def run_bench(sf_dir: str, num_cpus: int, flagship_only: bool = False) -> dict:
         "num_cpus": num_cpus,
         "flagship_docs": n_docs,
         "docs_per_sec": round(n_docs / t_flag, 1) if t_flag else None,
-        "rows": rows,
     }
+    # The driver captures only the tail of stdout and parses the LAST line as
+    # JSON; round-3's line (timings + a 53-entry rows dict) was long enough to
+    # be truncated mid-line. Keep the printed record compact (timings only)
+    # and park the full record — including per-query row counts — in a file.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"), "w") as f:
+            json.dump({**out, "rows": rows}, f)
+    except OSError:
+        pass
     ray.shutdown()
     return out
 
@@ -292,9 +300,14 @@ def main() -> None:
         n = int(os.environ.get("GRAFT_SCALING_N", "0")) or (
             max(1, num_cpus // 4) if "--cpus" in args else 4
         )
-        print(json.dumps(run_scaling(SF_DIR, n=n)))
+        print(json.dumps(run_scaling(SF_DIR, n=n), separators=(",", ":")))
     else:
-        print(json.dumps(run_bench(SF_DIR, num_cpus, flagship_only="--flagship-only" in args)))
+        print(
+            json.dumps(
+                run_bench(SF_DIR, num_cpus, flagship_only="--flagship-only" in args),
+                separators=(",", ":"),
+            )
+        )
 
 
 if __name__ == "__main__":

@@ -2139,7 +2139,7 @@ def q_pricing_summary(sf_dir: str):
 
 
 SQL_PRICING_SUMMARY = """SELECT l_returnflag, l_linestatus,
-  SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sum_qty,
+  CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
   ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_base_price,
   ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
             * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) / 10000.0, 2) AS sum_disc_price,
