@@ -121,6 +121,36 @@ def tree_sum(ds, key: str, value: str, fanout: int = 8):
     )
 
 
+def hot_keys(ds, key: str, value: str, threshold: int, num_blocks: int | None = None):
+    """(key, partial-count) rows -> sorted int64 array of the keys whose
+    TOTAL count is >= ``threshold``.
+
+    The partials co-partition by key hash and each bucket sums exactly and
+    applies the threshold ON-CLUSTER, so the driver receives only the hot
+    set — tiny by definition — never the full distinct-key histogram (at
+    corpus scale a distinct-cell/tile histogram is billions of rows, and
+    ``tree_sum``'s final single block would be just as unbounded)."""
+    nb = np.uint64(num_blocks if num_blocks is not None else default_num_blocks())
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy().astype(np.uint64)
+        h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return b.append_column("_hb", pa.array((h % nb).astype(np.int64)))
+
+    def bucket_hot(b: pa.Table) -> pa.Table:
+        t = combine_sums(b, key, value)
+        return t.filter(pa.compute.greater_equal(t[value], pa.scalar(threshold, t[value].type)))
+
+    hot = hash_bucket_apply(
+        ds.map_batches(add_bucket, batch_format="pyarrow"),
+        "_hb",
+        bucket_hot,
+        num_blocks=int(nb),
+        batch_format="pyarrow",
+    )
+    return np.sort(hot.to_pandas()[key].to_numpy().astype(np.int64))
+
+
 def combine_max(batch: pa.Table, key: str, value: str) -> pa.Table:
     """Merge (key, value) partial rows keeping the max per key."""
     k = batch[key].to_numpy()

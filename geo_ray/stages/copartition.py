@@ -219,10 +219,14 @@ def pip_join_copartition(points_ds, polygons=None, zoom: int = 8, salt_threshold
             u, c = np.unique(b["cell"].to_numpy(), return_counts=True)
             return pa.table({"cell": pa.array(u), "n": pa.array(c.astype(np.int64))})
 
-        counts = agg.tree_sum(
-            tagged.map_batches(partial_counts, batch_format="pyarrow"), "cell", "n"
-        ).to_pandas()
-        hot_cells = counts[counts["n"] >= salt_threshold]["cell"].to_numpy()
+        # threshold applied ON-CLUSTER: the driver receives only the hot
+        # set, never the full distinct-cell histogram (unbounded at scale)
+        hot_cells = agg.hot_keys(
+            tagged.map_batches(partial_counts, batch_format="pyarrow"),
+            "cell",
+            "n",
+            salt_threshold,
+        )
     build = rd.from_arrow(polygon_side_table(polygons, zoom))
     both = tagged.union(build).map_batches(
         add_bucket, fn_kwargs={"hot_cells": hot_cells}, batch_format="pyarrow"

@@ -58,7 +58,14 @@ def attach_degrees(group):
 def orient_edges(group):
     """Edge-key bucket: the two annotated slots of each edge meet; emit the
     edge directed from the (degree, node)-smaller endpoint, carrying the
-    destination's order key for wedge sorting."""
+    destination's order key for wedge sorting.
+
+    Robust to messy edge tables: duplicate edges collapse to one directed
+    edge (first (edge_key, node) slot wins — deg is a function of node, so
+    duplicates carry equal payloads) and self-loops (a single distinct slot
+    per key) are dropped, matching the standard triangle-count convention.
+    Without this, positional [0::2]/[1::2] pairing over runs like
+    [u,u,v,v] would silently mis-pair (u,u)/(v,v)."""
     import pandas as pd
 
     ek = group["edge_key"].to_numpy(np.int64)
@@ -75,6 +82,19 @@ def orient_edges(group):
     deg = group["deg"].to_numpy(np.int64)
     order = np.lexsort((node, ek))
     ek, node, deg = ek[order], node[order], deg[order]
+    keep = np.concatenate([[True], (ek[1:] != ek[:-1]) | (node[1:] != node[:-1])])
+    ek, node, deg = ek[keep], node[keep], deg[keep]
+    starts = np.flatnonzero(np.concatenate([[True], ek[1:] != ek[:-1]]))
+    lens = np.diff(np.concatenate([starts, [ek.size]]))
+    if not (lens == 2).all():
+        # drop self-loops (1 distinct slot); >2 distinct nodes per key is a
+        # pack_pair_keys collision and must never pass silently
+        if (lens > 2).any():
+            raise ValueError("edge_key collision: >2 distinct nodes share a key")
+        pair = np.repeat(lens == 2, lens)
+        ek, node, deg = ek[pair], node[pair], deg[pair]
+        if ek.size == 0:
+            return empty
     a, b = node[0::2], node[1::2]
     da, db = deg[0::2], deg[1::2]
     a_first = (da < db) | ((da == db) & (a < b))

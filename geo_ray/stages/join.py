@@ -132,6 +132,12 @@ def tagged_anti_join(
             return pa.nulls(n, t)
 
     def _cols(key_arrs: list[pa.Array], side_val: int, src: pa.Table | None) -> pa.Table:
+        for nm, a in zip(pkeys if side_val else ekeys, key_arrs):
+            if a.null_count:
+                # A null key would round-trip through float64 NaN ->
+                # int64 garbage and silently equi-join fabricated keys;
+                # SQL semantics never match NULL, so refuse loudly.
+                raise ValueError(f"null values in join key column {nm!r}")
         ks = [a.cast(pa.int64()) for a in key_arrs]
         kns = [k.to_numpy(zero_copy_only=False).astype(np.int64) for k in ks]
         n = len(ks[0])
@@ -240,6 +246,10 @@ def tagged_inner_join(
         k = b[key]
         if isinstance(k, pa.ChunkedArray):
             k = k.combine_chunks()
+        if k.null_count:
+            # NaN->int64 would fabricate a key and conflate all null rows;
+            # SQL inner-join semantics never match NULL, so refuse loudly.
+            raise ValueError(f"null values in join key column {key!r}")
         k = k.cast(pa.int64())
         kn = k.to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(k)
@@ -259,8 +269,14 @@ def tagged_inner_join(
             return pa.table(cols)
         t = pa.table(cols)
         if side_val == 1:
-            # left: hot rows spread over n_salt sub-buckets by a row hash
-            salt = (_mix_keys([kn + 1]) % np.uint64(n_salt)).astype(np.int64)
+            # left: hot rows spread over n_salt sub-buckets by a PER-ROW
+            # hash (key mixed with the block-local row index) — salting by
+            # the key alone would send every row of a hot key to the same
+            # sub-bucket, keeping the skew while paying n_salt× right-side
+            # replication.
+            salt = (
+                _mix_keys([kn, np.arange(n, dtype=np.int64)]) % np.uint64(n_salt)
+            ).astype(np.int64)
             jb = np.where(hot, nb + base * n_salt + salt, base)
             return t.append_column("_jb", pa.array(jb))
         # right: hot rows replicate into every sub-bucket of their key

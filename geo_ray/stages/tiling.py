@@ -181,10 +181,14 @@ def tile_pipeline(sf_dir: str, zoom: int = 10, salt_threshold: int | None = None
             u, c = np.unique(b["tile_key"].to_numpy(), return_counts=True)
             return pa.table({"tile_key": pa.array(u), "n": pa.array(c.astype(np.int64))})
 
-        counts = agg.tree_sum(
-            rows.map_batches(partial_counts, batch_format="pyarrow"), "tile_key", "n"
-        ).to_pandas()
-        hot_keys = counts[counts["n"] >= salt_threshold]["tile_key"].to_numpy()
+        # threshold applied ON-CLUSTER: the driver receives only the hot
+        # set, never the full distinct-tile histogram (unbounded at scale)
+        hot_keys = agg.hot_keys(
+            rows.map_batches(partial_counts, batch_format="pyarrow"),
+            "tile_key",
+            "n",
+            salt_threshold,
+        )
     rows = rows.map_batches(
         add_assembly_bucket, fn_kwargs={"hot_keys": hot_keys}, batch_format="pyarrow"
     )

@@ -119,3 +119,12 @@ def test_random_graph_matches_brute_force(ray_session):
                 for x in (a, b, c):
                     want[x] = want.get(x, 0) + 1
     assert got == want
+
+
+def test_duplicate_edges_and_self_loops_tolerated(ray_session):
+    """orient_edges collapses duplicate edges (either direction) to one
+    directed edge and drops self-loops, so triangle counts match the
+    simple-graph answer instead of silently mis-pairing slot runs."""
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    messy = k4 + [(0, 1), (1, 0), (2, 2), (3, 3), (2, 3)]
+    assert _count(messy) == {0: 3, 1: 3, 2: 3, 3: 3}

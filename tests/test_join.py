@@ -219,3 +219,43 @@ def test_tagged_inner_join_salted_hot_keys_identical(ray_session):
     salted = run(np.array([7], dtype=np.int64))
     assert len(plain) > 0
     pd.testing.assert_frame_equal(plain, salted)
+
+
+def test_hot_left_rows_salt_per_row():
+    """The salt for a hot key's left rows must vary per ROW (key mixed with
+    row index), not per key — otherwise every row of the hot key lands in
+    one salted sub-bucket and the skew survives salting."""
+    import numpy as np
+
+    from geo_ray.stages.join import _mix_keys
+
+    kn = np.full(512, 7, dtype=np.int64)  # one hot key, many rows
+    salt = (_mix_keys([kn, np.arange(512, dtype=np.int64)]) % np.uint64(8)).astype(np.int64)
+    counts = np.bincount(salt, minlength=8)
+    assert (counts > 0).all(), counts  # spread over all 8 sub-buckets
+    assert counts.max() < 512  # and not concentrated in one
+
+
+def test_null_join_keys_rejected(ray_session):
+    """NULL keys never equi-join in SQL; the NaN->int64 round-trip would
+    fabricate a key, so both shuffle joins refuse them loudly."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from geo_ray.stages.join import tagged_anti_join, tagged_inner_join
+
+    left = rd.from_arrow(
+        pa.table({"k": pa.array([1, None, 3], pa.int64()), "lv": pa.array([10, 20, 30])})
+    )
+    right = rd.from_arrow(
+        pa.table({"rk": pa.array([1, 3], pa.int64()), "rv": pa.array([5, 6])})
+    )
+    with pytest.raises(Exception, match="null values in join key"):
+        tagged_inner_join(
+            left, right, left_key="k", right_key="rk", right_cols=["rv"], num_buckets=4
+        ).materialize()
+    with pytest.raises(Exception, match="null values in join key"):
+        tagged_anti_join(left, right, "k", exclude_key="rk", num_buckets=4).materialize()
