@@ -47,6 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_region_counts": Q.q_supplier_region_counts,
         "priority_order_stats": Q.q_priority_order_stats,
         "doc_len_quantiles": Q.q_doc_len_quantiles,
+        # --- new in round 4 ---
+        "segment_revenue": Q.q_segment_revenue,
         # --- round-3 window entries kept for a second driver lock ---
         "minhash_pairs": Q.q_minhash_pairs,
         "minhash_pairs_joined": Q.q_minhash_pairs_joined,
@@ -222,6 +224,7 @@ def oracle_sql() -> dict[str, str]:
         "value_hour_corr": Q.SQL_VALUE_HOUR_CORR,
         "approx_distance": Q.SQL_APPROX_DISTANCE,
         "revenue_by_priority": Q.SQL_REVENUE_BY_PRIORITY,
+        "segment_revenue": Q.SQL_SEGMENT_REVENUE,
         "contamination_flags": Q.SQL_CONTAMINATION_FLAGS,
         "curation_pipeline": Q.SQL_CURATION_PIPELINE,
         "snap_roads": Q.SQL_SNAP_ROADS,

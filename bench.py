@@ -163,6 +163,8 @@ def bench_queries(sf_dir: str):
         "event_funnel": lambda: Q.q_event_funnel(sf_dir),
         "decayed_user_scores": lambda: Q.q_decayed_user_scores(sf_dir),
         "active_suppliers": lambda: Q.q_active_suppliers(sf_dir),
+        # round-4 additions
+        "segment_revenue": lambda: Q.q_segment_revenue(sf_dir),
     }
 
 

@@ -4000,6 +4000,105 @@ SELECT o_orderpriority, COUNT(*) AS n_items,
 FROM j GROUP BY o_orderpriority"""
 
 
+def q_segment_revenue(sf_dir: str):
+    """lineitem ⨝ orders ⨝ customer through TWO chained shuffle inner joins
+    (stages/join.tagged_inner_join) — proves the generic co-partition join
+    COMPOSES: the first join's output re-buckets on its carried o_custkey
+    for the second. Between the joins each block pre-aggregates to
+    (custkey, partial revenue) rows, so the second shuffle moves at most
+    |distinct custkeys per block| rows instead of lineitem rows — the
+    standard chain optimization for fact ⨝ fact ⨝ dim-sized plans. Exact
+    cents throughout via base-1e6 (quot, rem) partial sums."""
+    from ray.data.aggregate import Sum
+
+    from geo_ray.stages.agg import coalesce_for_shuffle
+    from geo_ray.stages.join import tagged_inner_join
+
+    M = 1_000_000
+    rd = _rd()
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def li_cents(b: pa.Table) -> pa.Table:
+        price_c = np.rint(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
+        disc_c = np.rint((1.0 - b["l_discount"].to_numpy()) * 100).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": b["l_orderkey"].cast(pa.int64()), "rev": pa.array(price_c * disc_c)}
+        )
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    j1 = tagged_inner_join(
+        li.map_batches(li_cents, batch_format="pyarrow", zero_copy_batch=True),
+        orders,
+        left_key="l_orderkey",
+        right_key="o_orderkey",
+        right_cols=["o_custkey"],
+    )
+
+    def per_cust_partial(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rev = b["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(ck, kind="mergesort")
+        ck, rev = ck[order], rev[order]
+        uk, starts = np.unique(ck, return_index=True)
+        n = np.diff(np.concatenate([starts, [ck.size]]))
+        return pa.table(
+            {
+                "custkey": pa.array(uk),
+                "rev_q": pa.array(np.add.reduceat(rev // M, starts) if uk.size else np.array([], np.int64)),
+                "rev_r": pa.array(np.add.reduceat(rev % M, starts) if uk.size else np.array([], np.int64)),
+                "n_items": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    j2 = tagged_inner_join(
+        j1.map_batches(per_cust_partial, batch_format="pyarrow"),
+        cust,
+        left_key="custkey",
+        right_key="c_custkey",
+        right_cols=["c_mktsegment"],
+    )
+    sums = (
+        coalesce_for_shuffle(j2)
+        .groupby("c_mktsegment")
+        .aggregate(
+            Sum("rev_q", alias_name="rev_q"),
+            Sum("rev_r", alias_name="rev_r"),
+            Sum("n_items", alias_name="n_items"),
+        )
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        rev = (
+            b["rev_q"].to_numpy().astype(np.float64) * 1e6
+            + b["rev_r"].to_numpy().astype(np.float64)
+        ) / 10000.0
+        return pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "n_items": b["n_items"],
+                "revenue": pa.array(fixed_k.round_half_away(rev, 2)),
+            }
+        )
+
+    return sums.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_SEGMENT_REVENUE = """WITH j AS (
+  SELECT c.c_mktsegment,
+         CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+           * CAST(ROUND((1.0 - l.l_discount) * 100) AS BIGINT) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND((SUM(rev // 1000000)::DOUBLE * 1e6 + SUM(rev % 1000000)::DOUBLE) / 10000.0, 2) AS revenue
+FROM j GROUP BY c_mktsegment"""
+
+
 # ---------------------------------------------------------------------------
 # broadcast dimension joins + exact-integer aggregation (engine generality)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,51 @@
+"""Round-4 ops, each pinned against an independent brute-force derivation at
+sf0.001 (the DuckDB oracles cover sf0.01; these pin semantics against a
+second, non-SQL computation)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_segment_revenue_matches_pandas_merge_chain(ray_session):
+    """Two chained tagged_inner_joins + exact-cents rollup must equal the
+    single-process pandas merge chain bit-for-bit (exact integer cents, so
+    no float-order tolerance is needed)."""
+    from geo_ray.kernels import fixed as fixed_k
+    from geo_ray.pipelines import queries as Q
+
+    got = (
+        Q.q_segment_revenue(SF)
+        .to_pandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    ).to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"]).to_pandas()
+    cust = pq.read_table(
+        f"{SF}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    li["rev"] = np.rint(li["l_extendedprice"].to_numpy() * 100).astype(np.int64) * np.rint(
+        (1.0 - li["l_discount"].to_numpy()) * 100
+    ).astype(np.int64)
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey").merge(
+        cust, left_on="o_custkey", right_on="c_custkey"
+    )
+    rows = []
+    for seg, g in j.groupby("c_mktsegment"):
+        rev = g["rev"].to_numpy()
+        total = float(int((rev // 1_000_000).sum())) * 1e6 + float(int((rev % 1_000_000).sum()))
+        rows.append(
+            {
+                "c_mktsegment": seg,
+                "n_items": np.int64(len(g)),
+                "revenue": fixed_k.round_half_away(np.array([total / 10000.0]), 2)[0],
+            }
+        )
+    want = pd.DataFrame(rows).sort_values("c_mktsegment").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
