@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_quantiles": Q.q_doc_len_quantiles,
         # --- new in round 4 ---
         "segment_revenue": Q.q_segment_revenue,
+        "segment_intersections": Q.q_segment_intersections,
         # --- round-3 window entries kept for a second driver lock ---
         "minhash_pairs": Q.q_minhash_pairs,
         "minhash_pairs_joined": Q.q_minhash_pairs_joined,
@@ -225,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_distance": Q.SQL_APPROX_DISTANCE,
         "revenue_by_priority": Q.SQL_REVENUE_BY_PRIORITY,
         "segment_revenue": Q.SQL_SEGMENT_REVENUE,
+        "segment_intersections": Q.SQL_SEGMENT_INTERSECTIONS,
         "contamination_flags": Q.SQL_CONTAMINATION_FLAGS,
         "curation_pipeline": Q.SQL_CURATION_PIPELINE,
         "snap_roads": Q.SQL_SNAP_ROADS,

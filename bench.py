@@ -165,6 +165,7 @@ def bench_queries(sf_dir: str):
         "active_suppliers": lambda: Q.q_active_suppliers(sf_dir),
         # round-4 additions
         "segment_revenue": lambda: Q.q_segment_revenue(sf_dir),
+        "segment_intersections": lambda: Q.q_segment_intersections(sf_dir),
     }
 
 

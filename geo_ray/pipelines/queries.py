@@ -5066,6 +5066,38 @@ def q_segment_crossings(sf_dir: str):
     return out
 
 
+def q_segment_intersections(sf_dir: str):
+    """Exact intersection POINTS of every strictly-crossing segment pair —
+    the overlay / map-conflation primitive on top of the same multi-level
+    grid plan as :func:`q_segment_crossings` (identical exactly-once
+    canonical-cell machinery; see stages/segjoin.cell_crossing_points for
+    the int64/float64 parity design). Output one row per crossing pair with
+    the pair canonicalized lex-smaller-first and the point in micro-degrees
+    rounded to 3 dp: (doc_a, seg_a, doc_b, seg_b, x_um, y_um)."""
+    from geo_ray.stages import segjoin
+    from geo_ray.stages.agg import hash_bucket_apply
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    segs = ds.repartition(32).map_batches(
+        segjoin.doc_segments, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    active = segjoin.active_home_levels(segs)
+    cells = segs.map_batches(
+        segjoin.explode_cover_cells,
+        fn_kwargs={"active_levels": active},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        c = b["cell"].to_numpy()
+        return b.append_column("bucket", pa.array(mix32_np(c) % np.int64(64)))
+
+    cells = cells.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_bucket_apply(cells, "bucket", segjoin.cell_crossing_points)
+
+
 def _sql_orient(px, py, qx, qy, rx, ry) -> str:
     return f"(({qx}) - ({px})) * (({ry}) - ({py})) - (({qy}) - ({py})) * (({rx}) - ({px}))"
 
@@ -5095,6 +5127,38 @@ SQL_SEGMENT_CROSSINGS = f"""{POINTS_CTE}, pm AS (
   UNION ALL SELECT db, sb FROM pairs
 )
 SELECT doc_id, seg_idx, COUNT(*) AS n_cross FROM sides GROUP BY doc_id, seg_idx"""
+
+
+# Intersection-point twin: same strict-crossing pairs (s is lex-smaller by
+# the join condition, matching the engine's canonical orientation), then the
+# identical int64-exact (d, tnum) and float64 (t, x, y) op order — see
+# stages/segjoin.cell_crossing_points for the parity argument.
+SQL_SEGMENT_INTERSECTIONS = f"""{POINTS_CTE}, pm AS (
+  SELECT doc_id, pt_idx,
+         CAST(ROUND(lng * 1000000, 0) AS BIGINT) AS x,
+         CAST(ROUND(lat * 1000000, 0) AS BIGINT) AS y
+  FROM points
+), segs AS (
+  SELECT doc_id, pt_idx AS seg_idx, x AS ax, y AS ay,
+         LEAD(x) OVER w AS bx, LEAD(y) OVER w AS by
+  FROM pm WINDOW w AS (PARTITION BY doc_id ORDER BY pt_idx)
+  QUALIFY LEAD(x) OVER w IS NOT NULL
+), pairs AS (
+  SELECT s.doc_id AS doc_a, s.seg_idx AS seg_a, t.doc_id AS doc_b, t.seg_idx AS seg_b,
+         s.ax AS axa, s.ay AS aya, s.bx - s.ax AS dxa, s.by - s.ay AS dya,
+         (s.bx - s.ax) * (t.by - t.ay) - (s.by - s.ay) * (t.bx - t.ax) AS d,
+         (t.ax - s.ax) * (t.by - t.ay) - (t.ay - s.ay) * (t.bx - t.ax) AS tnum
+  FROM segs s JOIN segs t
+    ON (s.doc_id < t.doc_id OR (s.doc_id = t.doc_id AND s.seg_idx < t.seg_idx))
+  WHERE (({_sql_orient('s.ax','s.ay','s.bx','s.by','t.ax','t.ay')} > 0 AND {_sql_orient('s.ax','s.ay','s.bx','s.by','t.bx','t.by')} < 0)
+      OR ({_sql_orient('s.ax','s.ay','s.bx','s.by','t.ax','t.ay')} < 0 AND {_sql_orient('s.ax','s.ay','s.bx','s.by','t.bx','t.by')} > 0))
+    AND (({_sql_orient('t.ax','t.ay','t.bx','t.by','s.ax','s.ay')} > 0 AND {_sql_orient('t.ax','t.ay','t.bx','t.by','s.bx','s.by')} < 0)
+      OR ({_sql_orient('t.ax','t.ay','t.bx','t.by','s.ax','s.ay')} < 0 AND {_sql_orient('t.ax','t.ay','t.bx','t.by','s.bx','s.by')} > 0))
+)
+SELECT doc_a, seg_a, doc_b, seg_b,
+       ROUND(CAST(axa AS DOUBLE) + (CAST(tnum AS DOUBLE) / CAST(d AS DOUBLE)) * CAST(dxa AS DOUBLE), 3) AS x_um,
+       ROUND(CAST(aya AS DOUBLE) + (CAST(tnum AS DOUBLE) / CAST(d AS DOUBLE)) * CAST(dya AS DOUBLE), 3) AS y_um
+FROM pairs"""
 
 
 def q_polygon_metrics(sf_dir: str):

@@ -235,43 +235,33 @@ def _orient(px, py, qx, qy, rx, ry):
 _CHUNK_PAIRS = 1 << 20
 
 
-def cell_crossing_counts(group):
-    """Per grid-cell bucket: vectorized strict-crossing test with each pair
-    counted only in its canonical cell — globally exactly-once without a
-    dedup shuffle — and the output already reduced to per-segment PARTIAL
-    counts, so the final shuffle carries one row per (segment, bucket), not
-    one per crossing pair (pair count is inherently quadratic on
-    overlapping geometry).
+def _iter_crossing_chunks(group):
+    """Shared candidate machinery for the per-bucket crossing stages: yield
+    ``(cols, i, j)`` per cache-resident chunk, where ``cols`` is the dict of
+    slice-local column arrays for one grid-cell run and ``(i, j)`` index the
+    STRICTLY-CROSSING pairs found in that chunk — each pair globally exactly
+    once via the canonical-cell gate.
 
     Pairing rule inside a (cell, salt) group: the flagged (home) rows pair
     against every row; a pair of two home rows is kept only from its
-    lexicographically-smaller flagged side, which makes the count exactly
+    lexicographically-smaller flagged side, which makes the emission exactly
     once across salt slices too. Work is chunked to _CHUNK_PAIRS candidate
     pairs so temporaries stay cache-resident."""
-    import pandas as pd
-
-    empty = pd.DataFrame(
-        {
-            "doc_id": np.array([], dtype=np.int64),
-            "seg_idx": np.array([], dtype=np.int64),
-            "n_partial": np.array([], dtype=np.int64),
-        }
-    )
     cell = group["cell"].to_numpy(np.int64)
     if cell.size == 0:
-        return empty
+        return
     order = np.argsort(cell, kind="mergesort")
     g = {c: group[c].to_numpy()[order] for c in group.columns}
     cell = cell[order]
     starts = np.flatnonzero(np.concatenate([[True], cell[1:] != cell[:-1]]))
     lens = np.diff(np.concatenate([starts, [cell.size]]))
-    acc_doc, acc_seg = [], []
     gmask = np.int64((1 << _GX_BITS) - 1)
     for st, ln in zip(starts[lens >= 2], lens[lens >= 2]):
         sl = slice(st, st + ln)
-        doc, seg = g["doc_id"][sl], g["seg_idx"][sl]
-        ax, ay, bx, by = g["ax"][sl], g["ay"][sl], g["bx"][sl], g["by"][sl]
-        home, flag = g["home"][sl], g["is_home"][sl]
+        cols = {c: g[c][sl] for c in g}
+        doc, seg = cols["doc_id"], cols["seg_idx"]
+        ax, ay, bx, by = cols["ax"], cols["ay"], cols["bx"], cols["by"]
+        home, flag = cols["home"], cols["is_home"]
         level = (cell[st] >> np.int64(40)) & np.int64(0x1F)
         cgx = (cell[st] >> np.int64(_GX_BITS)) & gmask
         cgy = cell[st] & gmask
@@ -313,13 +303,31 @@ def cell_crossing_counts(group):
             )
             if not x.any():
                 continue
-            i, j = i[x], j[x]
-            acc_doc.append(doc[i])
-            acc_doc.append(doc[j])
-            acc_seg.append(seg[i])
-            acc_seg.append(seg[j])
+            yield cols, i[x], j[x]
+
+
+def cell_crossing_counts(group):
+    """Per grid-cell bucket: vectorized strict-crossing test
+    (:func:`_iter_crossing_chunks`) with the output already reduced to
+    per-segment PARTIAL counts, so the final shuffle carries one row per
+    (segment, bucket), not one per crossing pair (pair count is inherently
+    quadratic on overlapping geometry)."""
+    import pandas as pd
+
+    acc_doc, acc_seg = [], []
+    for cols, i, j in _iter_crossing_chunks(group):
+        acc_doc.append(cols["doc_id"][i])
+        acc_doc.append(cols["doc_id"][j])
+        acc_seg.append(cols["seg_idx"][i])
+        acc_seg.append(cols["seg_idx"][j])
     if not acc_doc:
-        return empty
+        return pd.DataFrame(
+            {
+                "doc_id": np.array([], dtype=np.int64),
+                "seg_idx": np.array([], dtype=np.int64),
+                "n_partial": np.array([], dtype=np.int64),
+            }
+        )
     d = np.concatenate(acc_doc)
     sgi = np.concatenate(acc_seg)
     key = (d << np.int64(2)) | sgi  # seg_idx in 1..3
@@ -329,5 +337,67 @@ def cell_crossing_counts(group):
             "doc_id": uk >> np.int64(2),
             "seg_idx": uk & np.int64(3),
             "n_partial": counts.astype(np.int64),
+        }
+    )
+
+
+def cell_crossing_points(group):
+    """Per grid-cell bucket: the EXACT intersection point of every strictly
+    crossing pair — the overlay/map-conflation primitive on top of the same
+    exactly-once candidate machinery as :func:`cell_crossing_counts`.
+
+    Parity design (mirrored op-for-op by the SQL twin): each pair is first
+    canonicalized so segment ``a`` is the lexicographically smaller
+    (doc_id, seg_idx); the line-intersection parameter is then
+    ``t = tnum / d`` with ``d = dxa*dyb - dya*dxb`` and
+    ``tnum = (axb-axa)*dyb - (ayb-aya)*dxb`` both computed EXACTLY in int64
+    (|products| < 2^59, d != 0 for a strict crossing), cast to float64
+    (IEEE round-nearest — identical in DuckDB), and the point is
+    ``x = axa + t*dxa`` / ``y = aya + t*dya`` in micro-degrees, rounded
+    half-away to 3 dp on both sides. Output is the true crossing set —
+    unavoidable for this op; everything upstream stays partial/pruned."""
+    import pandas as pd
+
+    from geo_ray.kernels import fixed as fixed_k
+
+    acc = {k: [] for k in ("da", "sa", "db", "sb", "x", "y")}
+    for cols, i, j in _iter_crossing_chunks(group):
+        key = (cols["doc_id"] << np.int64(2)) | cols["seg_idx"]
+        swap = key[j] < key[i]
+        a = np.where(swap, j, i)
+        b = np.where(swap, i, j)
+        axa, aya = cols["ax"][a], cols["ay"][a]
+        dxa = cols["bx"][a] - axa
+        dya = cols["by"][a] - aya
+        dxb = cols["bx"][b] - cols["ax"][b]
+        dyb = cols["by"][b] - cols["ay"][b]
+        d = dxa * dyb - dya * dxb
+        tnum = (cols["ax"][b] - axa) * dyb - (cols["ay"][b] - aya) * dxb
+        t = tnum.astype(np.float64) / d.astype(np.float64)
+        acc["da"].append(cols["doc_id"][a])
+        acc["sa"].append(cols["seg_idx"][a])
+        acc["db"].append(cols["doc_id"][b])
+        acc["sb"].append(cols["seg_idx"][b])
+        acc["x"].append(axa.astype(np.float64) + t * dxa.astype(np.float64))
+        acc["y"].append(aya.astype(np.float64) + t * dya.astype(np.float64))
+    if not acc["da"]:
+        return pd.DataFrame(
+            {
+                "doc_a": np.array([], dtype=np.int64),
+                "seg_a": np.array([], dtype=np.int64),
+                "doc_b": np.array([], dtype=np.int64),
+                "seg_b": np.array([], dtype=np.int64),
+                "x_um": np.array([], dtype=np.float64),
+                "y_um": np.array([], dtype=np.float64),
+            }
+        )
+    return pd.DataFrame(
+        {
+            "doc_a": np.concatenate(acc["da"]),
+            "seg_a": np.concatenate(acc["sa"]),
+            "doc_b": np.concatenate(acc["db"]),
+            "seg_b": np.concatenate(acc["sb"]),
+            "x_um": fixed_k.round_half_away(np.concatenate(acc["x"]), 3),
+            "y_um": fixed_k.round_half_away(np.concatenate(acc["y"]), 3),
         }
     )

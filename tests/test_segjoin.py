@@ -150,3 +150,55 @@ def test_active_level_pruning_is_lossless(ray_session):
         segjoin.explode_cover_cells(segs, active_levels=active).num_rows
         <= segjoin.explode_cover_cells(segs).num_rows
     )
+
+
+def test_segment_intersections_match_brute_force(ray_session):
+    """Intersection points: exactly-once pair set AND bit-identical float64
+    coordinates versus an independent all-pairs derivation (canonical
+    lex-smaller-first op order)."""
+    from geo_ray.kernels import fixed as fixed_k
+    from geo_ray.pipelines import queries as Q
+    from geo_ray.stages.segjoin import _orient
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])
+    from geo_ray.stages import segjoin
+
+    segs = segjoin.doc_segments(docs)
+    doc = segs["doc_id"].to_numpy()
+    seg = segs["seg_idx"].to_numpy()
+    ax, ay, bx, by = (segs[c].to_numpy() for c in ("ax", "ay", "bx", "by"))
+    # lex order by (doc, seg) so triu pairs are already canonical a<b
+    key = (doc << np.int64(2)) | seg
+    o = np.argsort(key, kind="mergesort")
+    doc, seg, ax, ay, bx, by = doc[o], seg[o], ax[o], ay[o], bx[o], by[o]
+    iu, ju = np.triu_indices(doc.size, 1)
+    o1 = _orient(ax[iu], ay[iu], bx[iu], by[iu], ax[ju], ay[ju])
+    o2 = _orient(ax[iu], ay[iu], bx[iu], by[iu], bx[ju], by[ju])
+    o3 = _orient(ax[ju], ay[ju], bx[ju], by[ju], ax[iu], ay[iu])
+    o4 = _orient(ax[ju], ay[ju], bx[ju], by[ju], bx[iu], by[iu])
+    x = (((o1 > 0) & (o2 < 0)) | ((o1 < 0) & (o2 > 0))) & (
+        ((o3 > 0) & (o4 < 0)) | ((o3 < 0) & (o4 > 0))
+    )
+    a, b = iu[x], ju[x]
+    dxa, dya = bx[a] - ax[a], by[a] - ay[a]
+    dxb, dyb = bx[b] - ax[b], by[b] - ay[b]
+    d = dxa * dyb - dya * dxb
+    tnum = (ax[b] - ax[a]) * dyb - (ay[b] - ay[a]) * dxb
+    t = tnum.astype(np.float64) / d.astype(np.float64)
+    want = pd.DataFrame(
+        {
+            "doc_a": doc[a],
+            "seg_a": seg[a],
+            "doc_b": doc[b],
+            "seg_b": seg[b],
+            "x_um": fixed_k.round_half_away(ax[a].astype(np.float64) + t * dxa.astype(np.float64), 3),
+            "y_um": fixed_k.round_half_away(ay[a].astype(np.float64) + t * dya.astype(np.float64), 3),
+        }
+    ).sort_values(["doc_a", "seg_a", "doc_b", "seg_b"]).reset_index(drop=True)
+    got = (
+        Q.q_segment_intersections(SF)
+        .to_pandas()
+        .sort_values(["doc_a", "seg_a", "doc_b", "seg_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
