@@ -227,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_priority": Q.SQL_REVENUE_BY_PRIORITY,
         "segment_revenue": Q.SQL_SEGMENT_REVENUE,
         "segment_intersections": Q.SQL_SEGMENT_INTERSECTIONS,
+        "simplify_lines": Q.SQL_SIMPLIFY_LINES,
         "contamination_flags": Q.SQL_CONTAMINATION_FLAGS,
         "curation_pipeline": Q.SQL_CURATION_PIPELINE,
         "snap_roads": Q.SQL_SNAP_ROADS,

@@ -4256,6 +4256,74 @@ def q_simplify_lines(sf_dir: str):
     return ds.repartition(64).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _simplify_lines_sql() -> str:
+    """Recursive-CTE Douglas-Peucker twin of q_simplify_lines (VERDICT r3
+    item 5): the CTE rows are exactly the kernel's accepted SPLIT points, so
+    n_out = 2 + splits per doc. Parity notes:
+
+    - the per-interval farthest point comes from a LATERAL ordered by
+      (d DESC, i ASC) LIMIT 1 — np.argmax's first-max tie-break;
+    - the squared clamped-projection distance mirrors
+      kernels/simplify.sq_perpendicular_dist op-for-op (same x/y argument
+      swap, same (1.0 - ratio)*s + t*ratio projection, same dx*dx + dy*dy),
+      with the sq_len < float64-eps branch reproduced via ratio = 0;
+    - DP recursion order is irrelevant to the RESULT (each split depends
+      only on its interval endpoints), so set-recursion == stack-recursion;
+    - the walk CTE is the pinned derive_walks twin from the tile pipeline.
+    """
+    eps = float(np.finfo(np.float64).eps)
+    best = """LATERAL (
+    SELECT w.i AS far,
+           (e2.lng - e1.lng) AS slope_x,
+           (e2.lat - e1.lat) AS slope_y,
+           (w.lng - e1.lng) AS rel_x,
+           (w.lat - e1.lat) AS rel_y,
+           (slope_x * rel_x + slope_y * rel_y) AS unnormed,
+           (slope_x * slope_x + slope_y * slope_y) AS sq_len,
+           (CASE WHEN sq_len < {eps} THEN CAST(0.0 AS DOUBLE)
+                 ELSE LEAST(GREATEST(unnormed / sq_len, CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) END) AS ratio,
+           ((CAST(1.0 AS DOUBLE) - ratio) * e1.lat + e2.lat * ratio) AS proj_x,
+           ((CAST(1.0 AS DOUBLE) - ratio) * e1.lng + e2.lng * ratio) AS proj_y,
+           ((proj_x - w.lat) * (proj_x - w.lat) + (proj_y - w.lng) * (proj_y - w.lng)) AS dd
+    FROM walkpts w, walkpts e1, walkpts e2
+    WHERE w.d = c.doc_id AND w.i > c.lo AND w.i < c.hi
+      AND e1.d = c.doc_id AND e1.i = c.lo
+      AND e2.d = c.doc_id AND e2.i = c.hi
+    ORDER BY dd DESC, w.i ASC
+    LIMIT 1
+  ) b""".replace("{eps}", repr(eps))
+    thr = "CAST(0.0005 AS DOUBLE) * CAST(0.0005 AS DOUBLE)"
+    points = POINTS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""{points}, base AS (
+  SELECT doc_id AS d, lat AS lat0, lng AS lng0 FROM points WHERE pt_idx = 1
+), walkpts AS (
+  SELECT d, s.step AS i,
+         LEAST(GREATEST(lat0 + 0.001 * SIN(s.step * (d % 7 + 1)), -85.0), 85.0) AS lat,
+         lng0 + 0.001 * COS(s.step * (d % 5 + 1)) AS lng
+  FROM base, (SELECT unnest(range(24)) AS step) s
+), splits(doc_id, lo, hi, far) AS (
+  SELECT c.doc_id, c.lo, c.hi, b.far
+  FROM (SELECT d AS doc_id, CAST(0 AS BIGINT) AS lo, CAST(23 AS BIGINT) AS hi FROM base) c, {best}
+  WHERE b.dd >= {thr}
+  UNION ALL
+  SELECT c.doc_id, c.lo, c.hi, b.far
+  FROM (
+    SELECT sp.doc_id,
+           CASE WHEN u.k = 0 THEN sp.lo ELSE sp.far END AS lo,
+           CASE WHEN u.k = 0 THEN sp.far ELSE sp.hi END AS hi
+    FROM splits sp, (SELECT unnest([0, 1]) AS k) u
+  ) c, {best}
+  WHERE c.hi - c.lo > 1 AND b.dd >= {thr}
+)
+SELECT d.doc_id, CAST(24 AS BIGINT) AS n_in,
+       CAST(2 + COALESCE(s.k, 0) AS BIGINT) AS n_out
+FROM (SELECT d AS doc_id FROM base) d
+LEFT JOIN (SELECT doc_id, COUNT(*) AS k FROM splits GROUP BY doc_id) s USING (doc_id)"""
+
+
+SQL_SIMPLIFY_LINES = _simplify_lines_sql()
+
+
 _INDEXED_POLYGONS = None
 
 
