@@ -3355,6 +3355,45 @@ FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4"""
 
 
+def q_knn_graph(sf_dir: str, k: int = 3, n_chunks: int = 4):
+    """Exact cosine kNN-GRAPH self-join (each vector's top-k neighbors) —
+    the blocked no-broadcast plan: the corpus splits into ``n_chunks``
+    disjoint vec_id-hash shards, every probe block GEMMs against one shard
+    at a time emitting per-probe PARTIAL top-k rows, and a probe-keyed
+    groupby merges shard winners under the shared
+    (cos6 DESC, neighbor ASC) total order (selection under a total order is
+    associative, so partial-then-merge == global). At corpus scale the
+    shards become actor pools over a partitioned index layout; no task ever
+    holds the whole corpus and nothing quadratic ships through the shuffle
+    beyond k rows per (probe, shard)."""
+    from geo_ray.stages import ann as ann_st
+
+    path = f"{sf_dir}/embeddings.parquet"
+    rd = _rd()
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    parts = None
+    for c in range(n_chunks):
+        p = ds.map_batches(
+            ann_st.KnnGraphChunk(c, n_chunks, path, k), batch_format="pyarrow"
+        )
+        parts = p if parts is None else parts.union(p)
+    return parts.groupby("vec_id").map_groups(
+        lambda g: ann_st.finish_knn_graph(g, k), batch_format="pandas"
+    )
+
+
+SQL_KNN_GRAPH = """SELECT vec_id, neighbor_id, cos_sim, rank FROM (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                    b.vec_id
+         ) AS rank
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+) WHERE rank <= 3"""
+
+
 def q_dup_triangles(sf_dir: str, tau: float = 0.25):
     """DISTRIBUTED TRIANGLE COUNTING on the embedding near-dup graph
     (tau=0.25 keeps the graph dense enough to have triangles): per-node

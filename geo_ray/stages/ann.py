@@ -211,3 +211,74 @@ class IvfTopK:
                 "cos_sim": pa.array(np.concatenate(out_s)),
             }
         )
+
+
+class KnnGraphChunk:
+    """One corpus SHARD of the exact cosine kNN-graph self-join — the
+    no-broadcast scale path: the corpus is split into ``n_chunks`` disjoint
+    shards by vec_id hash; each probe block GEMMs against ONE shard and emits
+    per-probe partial top-k rows, merged by a (probe-keyed) groupby. No task
+    ever holds the whole corpus, and each (probe block x shard) pairing does
+    one vectorized matmul — the blocked dense plan every distributed kNN
+    builder reduces to before approximation.
+
+    Selection order is (cos rounded to 6 dp DESC, neighbor vec_id ASC) at
+    every stage — a TOTAL order shared with the SQL twin, so partial top-k
+    then merge is exactly the global top-k (selection under a total order is
+    associative). The shard matrix sorts by vec_id in ``__init__`` (once per
+    actor) so a stable argsort on -cos6 tie-breaks by neighbor id for free.
+    """
+
+    def __init__(self, chunk_id: int, n_chunks: int, path: str, k: int = 3):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
+        vid = t["vec_id"].to_numpy().astype(np.int64)
+        sel = np.flatnonzero(vid % np.int64(n_chunks) == np.int64(chunk_id))
+        order = sel[np.argsort(vid[sel], kind="mergesort")]
+        self.vid = vid[order]
+        m = _embeddings_to_matrix(t["embedding"])[order]
+        norms = np.sqrt((m * m).sum(axis=1))
+        norms[norms == 0] = 1.0
+        self.mat = (m / norms[:, None]).T.copy()  # (dim, shard) for the GEMM
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vec_id": pa.array([], pa.int64()),
+                "neighbor_id": pa.array([], pa.int64()),
+                "cos_sim": pa.array([], pa.float64()),
+            }
+        )
+        if batch.num_rows == 0 or self.vid.size == 0:
+            return empty
+        pv = batch["vec_id"].to_numpy().astype(np.int64)
+        v = _embeddings_to_matrix(batch["embedding"])
+        norms = np.sqrt((v * v).sum(axis=1))
+        norms[norms == 0] = 1.0
+        cos6 = fixed_k.round_half_away((v / norms[:, None]) @ self.mat, 6)
+        cos6[pv[:, None] == self.vid[None, :]] = -np.inf  # exclude self
+        kk = min(self.k, self.vid.size)
+        # stable argsort of -cos6: ties fall back to column order == vec_id
+        top = np.argsort(-cos6, axis=1, kind="stable")[:, :kk]
+        rows = np.repeat(np.arange(pv.size), kk)
+        cols = top.ravel()
+        keep = np.isfinite(cos6[rows, cols])
+        return pa.table(
+            {
+                "vec_id": pa.array(pv[rows[keep]]),
+                "neighbor_id": pa.array(self.vid[cols[keep]]),
+                "cos_sim": pa.array(cos6[rows[keep], cols[keep]]),
+            }
+        )
+
+
+def finish_knn_graph(group, k: int = 3):
+    """Merge per-shard partial top-k rows of one probe: same
+    (cos6 DESC, neighbor ASC) total order, global top-k with a dense rank."""
+    g = group.sort_values(
+        ["cos_sim", "neighbor_id"], ascending=[False, True], kind="mergesort"
+    ).head(k).copy()
+    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+    return g

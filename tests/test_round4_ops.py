@@ -49,3 +49,36 @@ def test_segment_revenue_matches_pandas_merge_chain(ray_session):
         )
     want = pd.DataFrame(rows).sort_values("c_mktsegment").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_knn_graph_matches_brute_force(ray_session):
+    """Sharded partial-top-k merge must equal the single-matrix global top-3
+    under the shared (cos6 DESC, neighbor ASC) order, for every shard count."""
+    from geo_ray.kernels import fixed as fixed_k
+    from geo_ray.pipelines import queries as Q
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    vid = t["vec_id"].to_numpy().astype(np.int64)
+    order = np.argsort(vid, kind="mergesort")
+    vid = vid[order]
+    v = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()])[order]
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    cos6 = fixed_k.round_half_away(vn @ vn.T, 6)
+    np.fill_diagonal(cos6, -np.inf)
+    top = np.argsort(-cos6, axis=1, kind="stable")[:, :3]
+    want = pd.DataFrame(
+        {
+            "vec_id": np.repeat(vid, 3),
+            "neighbor_id": vid[top.ravel()],
+            "cos_sim": cos6[np.repeat(np.arange(vid.size), 3), top.ravel()],
+            "rank": np.tile(np.arange(1, 4, dtype=np.int64), vid.size),
+        }
+    )
+    for n_chunks in (1, 4):
+        got = (
+            Q.q_knn_graph(SF, k=3, n_chunks=n_chunks)
+            .to_pandas()
+            .sort_values(["vec_id", "rank"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
