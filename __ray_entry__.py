@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue": Q.q_segment_revenue,
         "segment_intersections": Q.q_segment_intersections,
         "knn_graph": Q.q_knn_graph,
+        "sequence_packing": Q.q_sequence_packing,
         # --- round-3 window entries kept for a second driver lock ---
         "minhash_pairs": Q.q_minhash_pairs,
         "minhash_pairs_joined": Q.q_minhash_pairs_joined,
@@ -230,6 +231,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_intersections": Q.SQL_SEGMENT_INTERSECTIONS,
         "simplify_lines": Q.SQL_SIMPLIFY_LINES,
         "knn_graph": Q.SQL_KNN_GRAPH,
+        "sequence_packing": Q.SQL_SEQUENCE_PACKING,
         "contamination_flags": Q.SQL_CONTAMINATION_FLAGS,
         "curation_pipeline": Q.SQL_CURATION_PIPELINE,
         "snap_roads": Q.SQL_SNAP_ROADS,

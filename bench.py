@@ -167,6 +167,7 @@ def bench_queries(sf_dir: str):
         "segment_revenue": lambda: Q.q_segment_revenue(sf_dir),
         "segment_intersections": lambda: Q.q_segment_intersections(sf_dir),
         "knn_graph": lambda: Q.q_knn_graph(sf_dir),
+        "sequence_packing": lambda: Q.q_sequence_packing(sf_dir),
     }
 
 

@@ -891,6 +891,52 @@ def q_token_counts(sf_dir: str):
 SQL_TOKEN_COUNTS = r"SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens FROM documents"
 
 
+def q_sequence_packing(sf_dir: str):
+    """Greedy sequence PACKING for LLM training: docs pack in doc_id order
+    into fixed 256-token windows within deterministic
+    (lang, source, doc_id//100) micro-partitions — the pre-tokenization step
+    that turns a filtered corpus into fixed-length training rows. The text
+    column dies in the first map stage (only token counts shuffle); the
+    chunked partition key bounds every packing task regardless of stratum
+    skew (see stages/text.pack_prepare / pack_bucket). Output one row per
+    window: (lang, source, chunk_id, window_id, n_docs, n_tokens)."""
+    from geo_ray.stages import text as text_st
+    from geo_ray.stages.agg import hash_bucket_apply
+
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    rows = ds.map_batches(text_st.pack_prepare, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_bucket_apply(rows, "chunk_id", text_st.pack_bucket)
+
+
+# Recursive-CTE twin of the greedy packing recurrence: one CTE step per
+# in-partition row rank; the window/cum update mirrors pack_bucket exactly
+# (break when cum > 0 AND cum + t > budget; oversized docs get their own
+# window). SUM(BIGINT) cast back to BIGINT (HUGEINT->float64 dtype trap).
+SQL_SEQUENCE_PACKING = r"""WITH RECURSIVE d AS (
+  SELECT doc_id, lang, source, doc_id // 100 AS chunk_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS t
+  FROM documents
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source, chunk_id ORDER BY doc_id) AS rn
+  FROM d
+), rec AS (
+  SELECT lang, source, chunk_id, rn, t, CAST(0 AS BIGINT) AS w, t AS cum
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.lang, r.source, r.chunk_id, r.rn, r.t,
+         CASE WHEN rec.cum > 0 AND rec.cum + r.t > 256 THEN rec.w + 1 ELSE rec.w END,
+         CASE WHEN rec.cum > 0 AND rec.cum + r.t > 256 THEN r.t ELSE rec.cum + r.t END
+  FROM rec JOIN r ON r.lang = rec.lang AND r.source = rec.source
+                 AND r.chunk_id = rec.chunk_id AND r.rn = rec.rn + 1
+)
+SELECT lang, source, chunk_id, w AS window_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(t) AS BIGINT) AS n_tokens
+FROM rec GROUP BY lang, source, chunk_id, w"""
+
+
 def q_quality_scores(sf_dir: str):
     from geo_ray.stages import text as text_st
 

@@ -290,3 +290,90 @@ class CurationFilter:
                 "len": pa.array(lens),
             }
         )
+
+
+PACK_BUDGET = 256  # tokens per training window
+PACK_CHUNK = 100  # doc_ids per deterministic packing micro-partition
+
+
+def pack_prepare(batch: pa.Table, chunk: int = PACK_CHUNK) -> pa.Table:
+    """documents -> the tiny packing-input rows: (doc_id, lang, source,
+    chunk_id, n_tokens). The text column DIES here — only integer token
+    counts and small group keys ride the shuffle. chunk_id = doc_id//chunk
+    bounds every packing task to at most ``chunk`` docs deterministically,
+    independent of stratum skew (a 100 TB (lang, source) stratum never
+    becomes one task)."""
+    n = pc.cast(pc.count_substring_regex(batch["text"], r"\S+"), pa.int64())
+    doc = batch["doc_id"].to_numpy().astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "source": batch["source"],
+            "chunk_id": pa.array(doc // np.int64(chunk)),
+            "n_tokens": n,
+        }
+    )
+
+
+def pack_bucket(df, budget: int = PACK_BUDGET):
+    """Greedy first-fit-in-order sequence packing within each
+    (lang, source, chunk_id) micro-partition: docs in doc_id order
+    accumulate into a window until adding the next doc would exceed
+    ``budget`` (an oversized doc gets its own window). Output one row per
+    WINDOW: (lang, source, chunk_id, window_id, n_docs, n_tokens).
+
+    The recurrence is inherently sequential, but only over the bounded
+    micro-partition, and it touches five ints per doc — the string work
+    happened upstream in pack_prepare."""
+    import pandas as pd
+
+    if len(df) == 0:
+        return pd.DataFrame(
+            {
+                "lang": pd.Series([], dtype=object),
+                "source": pd.Series([], dtype=object),
+                "chunk_id": np.array([], dtype=np.int64),
+                "window_id": np.array([], dtype=np.int64),
+                "n_docs": np.array([], dtype=np.int64),
+                "n_tokens": np.array([], dtype=np.int64),
+            }
+        )
+    df = df.sort_values(["lang", "source", "chunk_id", "doc_id"], kind="mergesort")
+    lang = df["lang"].to_numpy()
+    source = df["source"].to_numpy()
+    ck = df["chunk_id"].to_numpy()
+    tok = df["n_tokens"].to_numpy()
+    n = len(df)
+    new_run = np.concatenate(
+        [[True], (lang[1:] != lang[:-1]) | (source[1:] != source[:-1]) | (ck[1:] != ck[:-1])]
+    )
+    w = np.empty(n, dtype=np.int64)
+    cum = 0
+    wid = 0
+    b = int(budget)
+    tl = tok.tolist()
+    nr = new_run.tolist()
+    for i in range(n):
+        if nr[i]:
+            wid = 0
+            cum = 0
+        t = tl[i]
+        if cum > 0 and cum + t > b:
+            wid += 1
+            cum = 0
+        cum += t
+        w[i] = wid
+    run_id = np.cumsum(new_run) - 1
+    key = run_id * np.int64(1 << 20) | w  # window_id < 2^20 per micro-partition
+    uk, starts, counts = np.unique(key, return_index=True, return_counts=True)
+    return pd.DataFrame(
+        {
+            "lang": lang[starts],
+            "source": source[starts],
+            "chunk_id": ck[starts],
+            "window_id": uk & np.int64((1 << 20) - 1),
+            "n_docs": counts.astype(np.int64),
+            "n_tokens": np.add.reduceat(tok, starts).astype(np.int64),
+        }
+    )

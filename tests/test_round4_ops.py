@@ -82,3 +82,59 @@ def test_knn_graph_matches_brute_force(ray_session):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_pack_bucket_greedy_semantics():
+    """Direct unit pin of the packing recurrence including the oversized-doc
+    path (no oversized docs exist in the sf corpora: max 99 < 256)."""
+    from geo_ray.stages.text import pack_bucket
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6, 10, 11],
+            "lang": ["en"] * 6 + ["de"] * 2,
+            "source": ["a"] * 6 + ["a"] * 2,
+            "chunk_id": [0] * 6 + [0] * 2,
+            "n_tokens": [100, 100, 100, 300, 10, 250, 5, 5],
+        }
+    )
+    out = pack_bucket(df, budget=256).sort_values(
+        ["lang", "source", "window_id"]
+    ).reset_index(drop=True)
+    # en: [100,100]=w0, [100]=w1 (300 breaks), [300]=w2 oversized alone,
+    #     [10]+[250] -> 10 then 250 breaks -> w3=[10], w4=[250]
+    want = pd.DataFrame(
+        {
+            "lang": ["de", "en", "en", "en", "en", "en"],
+            "source": ["a"] * 6,
+            "chunk_id": np.zeros(6, dtype=np.int64),
+            "window_id": np.array([0, 0, 1, 2, 3, 4], dtype=np.int64),
+            "n_docs": np.array([2, 2, 1, 1, 1, 1], dtype=np.int64),
+            "n_tokens": np.array([10, 200, 100, 300, 10, 250], dtype=np.int64),
+        }
+    )
+    pd.testing.assert_frame_equal(out, want)
+
+
+def test_sequence_packing_partition_invariant(ray_session):
+    """The distributed result equals a single-process pack of the whole
+    corpus — the micro-partition key makes packing independent of Ray's
+    physical partitioning."""
+    import pyarrow as pa
+
+    from geo_ray.pipelines import queries as Q
+    from geo_ray.stages.text import pack_bucket, pack_prepare
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text", "lang", "source"])
+    want = (
+        pack_bucket(pack_prepare(docs).to_pandas())
+        .sort_values(["lang", "source", "chunk_id", "window_id"])
+        .reset_index(drop=True)
+    )
+    got = (
+        Q.q_sequence_packing(SF)
+        .to_pandas()
+        .sort_values(["lang", "source", "chunk_id", "window_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
