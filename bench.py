@@ -168,6 +168,7 @@ def bench_queries(sf_dir: str):
         "segment_intersections": lambda: Q.q_segment_intersections(sf_dir),
         "knn_graph": lambda: Q.q_knn_graph(sf_dir),
         "sequence_packing": lambda: Q.q_sequence_packing(sf_dir),
+        "winsorized_stats": lambda: Q.q_winsorized_stats(sf_dir),
     }
 
 

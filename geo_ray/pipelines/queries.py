@@ -4898,6 +4898,105 @@ SELECT event_type, n,
 FROM m"""
 
 
+def q_winsorized_stats(sf_dir: str):
+    """Winsorized and trimmed means of event value per event_type — the
+    robust-statistics pass a curation pipeline runs before thresholding on
+    noisy quality scores. EXACT rank semantics with k = n//20 (5% each
+    tail): winsorized clamps every value into [rank k+1, rank n-k]; trimmed
+    averages exactly the ranks k+1..n-k.
+
+    Scale shape: each block reduces to an exact (event_type, cents) count
+    histogram, a groupby sums the partials (shuffle volume = #types x
+    #distinct cents — bounded by the value DOMAIN, never the row count),
+    and a per-type map_groups computes both statistics from the cumulative
+    histogram in pure int64 (tie-safe: rank windows over a sorted multiset
+    depend only on values, not tie order). Matches the SQL twin's
+    ROW_NUMBER definition exactly."""
+    from ray.data.aggregate import Sum
+
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
+    def partial(b: pa.Table) -> pa.Table:
+        c = np.rint(b["value"].to_numpy() * 100).astype(np.int64)
+        et = b["event_type"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, et))
+        et_s, c_s = et[order], c[order]
+        first = np.ones(c_s.size, dtype=bool)
+        if c_s.size:
+            first[1:] = (et_s[1:] != et_s[:-1]) | (c_s[1:] != c_s[:-1])
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.concatenate([starts, [c_s.size]]))
+        return pa.table(
+            {
+                "event_type": pa.array(et_s[starts].tolist()),
+                "c": pa.array(c_s[starts]),
+                "n_partial": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    def finish(g):
+        import pandas as pd
+
+        g = g.sort_values("c", kind="mergesort")
+        c = g["c"].to_numpy()
+        cnt = g["n"].to_numpy()
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        k = n // 20
+        lo_t = c[np.searchsorted(cum, k + 1, side="left")]
+        hi_t = c[np.searchsorted(cum, n - k, side="left")]
+        wins_sum = int((cnt * np.clip(c, lo_t, hi_t)).sum())
+        prev = np.concatenate([[0], cum[:-1]])
+        in_win = np.maximum(
+            0, np.minimum(cum, n - k) - np.maximum(prev, k)
+        )
+        trim_sum = int((in_win * c).sum())
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_events": np.array([n], dtype=np.int64),
+                "wins_mean": fixed_k.round_half_away(
+                    np.array([wins_sum / (100.0 * n)]), 4
+                ),
+                "trim_mean": fixed_k.round_half_away(
+                    np.array([trim_sum / (100.0 * (n - 2 * k))]), 4
+                ),
+            }
+        )
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    hist = coalesce_for_shuffle(parts).groupby(["event_type", "c"]).aggregate(
+        Sum("n_partial", alias_name="n")
+    )
+    return hist.groupby("event_type").map_groups(finish, batch_format="pandas")
+
+
+SQL_WINSORIZED_STATS = """WITH v AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c FROM events
+), r AS (
+  SELECT event_type, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM v
+), b AS (
+  SELECT event_type, c, rn, n, n // 20 AS k FROM r
+), th AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = k + 1 THEN c END) AS lo_t,
+         MAX(CASE WHEN rn = n - k THEN c END) AS hi_t
+  FROM b GROUP BY event_type
+)
+SELECT b.event_type,
+       CAST(MAX(b.n) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(LEAST(GREATEST(b.c, th.lo_t), th.hi_t)) AS DOUBLE)
+             / (100.0 * MAX(b.n)), 4) AS wins_mean,
+       ROUND(CAST(SUM(CASE WHEN b.rn > b.k AND b.rn <= b.n - b.k THEN b.c ELSE 0 END) AS DOUBLE)
+             / (100.0 * (MAX(b.n) - 2 * MAX(b.k))), 4) AS trim_mean
+FROM b JOIN th USING (event_type)
+GROUP BY b.event_type"""
+
+
 def q_value_outliers(sf_dir: str):
     """Per-type z-score outlier filter: events with value > mean + 2·σ of
     their event_type.

@@ -138,3 +138,38 @@ def test_sequence_packing_partition_invariant(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_winsorized_stats_match_numpy_brute(ray_session):
+    """Exact rank semantics against a direct sorted-array computation."""
+    from geo_ray.kernels import fixed as fixed_k
+    from geo_ray.pipelines import queries as Q
+
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["event_type", "value"]).to_pandas()
+    ev["c"] = np.rint(ev["value"].to_numpy() * 100).astype(np.int64)
+    rows = []
+    for et, g in ev.groupby("event_type"):
+        c = np.sort(g["c"].to_numpy())
+        n = c.size
+        k = n // 20
+        lo_t, hi_t = c[k], c[n - k - 1]
+        rows.append(
+            {
+                "event_type": et,
+                "n_events": np.int64(n),
+                "wins_mean": fixed_k.round_half_away(
+                    np.array([int(np.clip(c, lo_t, hi_t).sum()) / (100.0 * n)]), 4
+                )[0],
+                "trim_mean": fixed_k.round_half_away(
+                    np.array([int(c[k : n - k].sum()) / (100.0 * (n - 2 * k))]), 4
+                )[0],
+            }
+        )
+    want = pd.DataFrame(rows).sort_values("event_type").reset_index(drop=True)
+    got = (
+        Q.q_winsorized_stats(SF)
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
