@@ -30,9 +30,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     r3 red row was an oracle HUGEINT->float64 dtype artifact, now CAST back
     to BIGINT, and needs the green driver row; (b) the last 8 entries that
     never had a formal driver row in any round (all judge-green in r3);
-    (c) new round-4 pipelines; (d) round-3 single-green rows kept for a
-    second lock.  Traded to the tail: 8 round-3-green entries whose
-    algorithms are shared with window entries or double-verified locally."""
+    (c) new round-4 pipelines (segment_revenue, segment_intersections,
+    knn_graph, sequence_packing, winsorized_stats) plus simplify_lines,
+    whose recursive-CTE DP oracle is new this round (rows-only before);
+    (d) round-3 single-green rows kept for a second lock.  Traded to the
+    tail: round-3-green entries whose algorithms are shared with window
+    entries or double-verified locally."""
     from geo_ray.pipelines import queries as Q
 
     return {
@@ -53,6 +56,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": Q.q_knn_graph,
         "sequence_packing": Q.q_sequence_packing,
         "winsorized_stats": Q.q_winsorized_stats,
+        # newly SQL-oracled in round 4 (was rows-only since r1) — needs its
+        # first oracle-checked driver row
+        "simplify_lines": Q.q_simplify_lines,
         # --- round-3 window entries kept for a second driver lock ---
         "minhash_pairs": Q.q_minhash_pairs,
         "minhash_pairs_joined": Q.q_minhash_pairs_joined,
@@ -147,7 +153,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spans_shape": Q.q_spans_shape,
         "polyline_encode": Q.q_polyline_encode,
         "simplify_masks": Q.q_simplify_masks,
-        "simplify_lines": Q.q_simplify_lines,
         "media_features": Q.q_media_features,
         "media_refs": Q.q_media_refs,
         "token_counts_bpe": Q.q_token_counts_bpe,

@@ -3472,7 +3472,10 @@ def q_dup_triangles(sf_dir: str, tau: float = 0.25):
     # node co-partition holds every slot of a node, so the degree falls out
     # as the run length — no separate degree groupby
     annotated = hash_bucket_apply(
-        slots.map_batches(nbucket, batch_format="pyarrow"), "bucket", graph_st.attach_degrees
+        slots.map_batches(nbucket, batch_format="pyarrow"),
+        "bucket",
+        graph_st.attach_degrees,
+        batch_format="pyarrow",
     )
 
     def ebucket(b: pa.Table) -> pa.Table:
@@ -3483,7 +3486,10 @@ def q_dup_triangles(sf_dir: str, tau: float = 0.25):
         return t.append_column("bucket", pa.array(mix32_np(ek) % np.int64(64)))
 
     directed = hash_bucket_apply(
-        annotated.map_batches(ebucket, batch_format="pyarrow"), "bucket", graph_st.orient_edges
+        annotated.map_batches(ebucket, batch_format="pyarrow"),
+        "bucket",
+        graph_st.orient_edges,
+        batch_format="pyarrow",
     ).materialize()
 
     def sbucket(b: pa.Table) -> pa.Table:
@@ -3491,7 +3497,10 @@ def q_dup_triangles(sf_dir: str, tau: float = 0.25):
         return b.append_column("bucket", pa.array(mix32_np(s) % np.int64(64)))
 
     wedges = hash_bucket_apply(
-        directed.map_batches(sbucket, batch_format="pyarrow"), "bucket", graph_st.gen_wedges
+        directed.map_batches(sbucket, batch_format="pyarrow"),
+        "bucket",
+        graph_st.gen_wedges,
+        batch_format="pyarrow",
     )
 
     def edge_side(b: pa.Table) -> pa.Table:
@@ -3530,7 +3539,9 @@ def q_dup_triangles(sf_dir: str, tau: float = 0.25):
         .union(wedges.map_batches(cand_side, batch_format="pyarrow"))
         .map_batches(pbucket, batch_format="pyarrow")
     )
-    corners = hash_bucket_apply(tagged, "bucket", graph_st.close_wedges)
+    corners = hash_bucket_apply(
+        tagged, "bucket", graph_st.close_wedges, batch_format="pyarrow"
+    )
     return (
         coalesce_for_shuffle(corners)
         .groupby("vec_id")
@@ -4689,21 +4700,21 @@ def q_purchase_window_events(sf_dir: str):
         return t.append_column("bucket", pa.array((bucket % np.int64(64)).astype(np.int64)))
 
     def window_counts(group):
-        import pandas as pd
+        from geo_ray.stages.agg import np_col
 
-        empty = pd.DataFrame(
+        empty = pa.table(
             {
-                "event_id": np.array([], dtype=np.int64),
-                "n_partial": np.array([], dtype=np.int64),
+                "event_id": pa.array([], pa.int64()),
+                "n_partial": pa.array([], pa.int64()),
             }
         )
-        user = group["user_id"].to_numpy(np.int64)
+        user = np_col(group, "user_id")
         if user.size == 0:
             return empty
-        hb = group["hb"].to_numpy(np.int64)
-        flag = group["flag"].to_numpy(np.int8)
-        eid = group["event_id"].to_numpy(np.int64)
-        us = group["us"].to_numpy(np.int64)
+        hb = np_col(group, "hb")
+        flag = np_col(group, "flag", np.int8)
+        eid = np_col(group, "event_id")
+        us = np_col(group, "us")
         order = np.lexsort((us, flag, hb, user))
         user, hb, flag, eid, us = (a[order] for a in (user, hb, flag, eid, us))
         key_change = np.concatenate(
@@ -4726,12 +4737,15 @@ def q_purchase_window_events(sf_dir: str):
             out_n.append((hi - lo).astype(np.int64))
         if not out_e:
             return empty
-        return pd.DataFrame(
-            {"event_id": np.concatenate(out_e), "n_partial": np.concatenate(out_n)}
+        return pa.table(
+            {
+                "event_id": pa.array(np.concatenate(out_e)),
+                "n_partial": pa.array(np.concatenate(out_n)),
+            }
         )
 
     ds = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
-    partials = hash_bucket_apply(ds, "bucket", window_counts)
+    partials = hash_bucket_apply(ds, "bucket", window_counts, batch_format="pyarrow")
     out = partials.groupby("event_id").aggregate(Sum("n_partial", alias_name="n_inc"))
 
     def finish(b: pa.Table) -> pa.Table:
@@ -5311,7 +5325,9 @@ def q_segment_crossings(sf_dir: str):
         return b.append_column("bucket", pa.array(mix32_np(c) % np.int64(64)))
 
     cells = cells.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-    partials = hash_bucket_apply(cells, "bucket", segjoin.cell_crossing_counts)
+    partials = hash_bucket_apply(
+        cells, "bucket", segjoin.cell_crossing_counts, batch_format="pyarrow"
+    )
     out = coalesce_for_shuffle(partials).groupby(["doc_id", "seg_idx"]).aggregate(
         Sum("n_partial", alias_name="n_cross")
     )
@@ -5347,7 +5363,9 @@ def q_segment_intersections(sf_dir: str):
         return b.append_column("bucket", pa.array(mix32_np(c) % np.int64(64)))
 
     cells = cells.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-    return hash_bucket_apply(cells, "bucket", segjoin.cell_crossing_points)
+    return hash_bucket_apply(
+        cells, "bucket", segjoin.cell_crossing_points, batch_format="pyarrow"
+    )
 
 
 def _sql_orient(px, py, qx, qy, rx, ry) -> str:

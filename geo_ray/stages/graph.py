@@ -18,6 +18,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from geo_ray.stages.agg import np_col
+
 
 def edge_slots(batch: pa.Table) -> pa.Table:
     """(u, v) edges -> two node-keyed slot rows per edge: (node, other)."""
@@ -35,24 +37,24 @@ def attach_degrees(group):
     """Node-bucket over edge slots: the bucket holds EVERY slot of each of
     its nodes, so a node's degree is simply its run length — no separate
     degree groupby or carrier-row union. Emits (node, other, deg)."""
-    import pandas as pd
-
-    node = group["node"].to_numpy(np.int64)
+    node = np_col(group, "node")
     if node.size == 0:
-        return pd.DataFrame(
+        return pa.table(
             {
-                "node": np.array([], dtype=np.int64),
-                "other": np.array([], dtype=np.int64),
-                "deg": np.array([], dtype=np.int64),
+                "node": pa.array([], pa.int64()),
+                "other": pa.array([], pa.int64()),
+                "deg": pa.array([], pa.int64()),
             }
         )
-    other = group["other"].to_numpy(np.int64)
+    other = np_col(group, "other")
     order = np.argsort(node, kind="mergesort")
     node, other = node[order], other[order]
     starts = np.flatnonzero(np.concatenate([[True], node[1:] != node[:-1]]))
     lens = np.diff(np.concatenate([starts, [node.size]]))
     deg = np.repeat(lens, lens)
-    return pd.DataFrame({"node": node, "other": other, "deg": deg})
+    return pa.table(
+        {"node": pa.array(node), "other": pa.array(other), "deg": pa.array(deg)}
+    )
 
 
 def orient_edges(group):
@@ -66,20 +68,18 @@ def orient_edges(group):
     per key) are dropped, matching the standard triangle-count convention.
     Without this, positional [0::2]/[1::2] pairing over runs like
     [u,u,v,v] would silently mis-pair (u,u)/(v,v)."""
-    import pandas as pd
-
-    ek = group["edge_key"].to_numpy(np.int64)
-    empty = pd.DataFrame(
+    ek = np_col(group, "edge_key")
+    empty = pa.table(
         {
-            "src": np.array([], dtype=np.int64),
-            "dst": np.array([], dtype=np.int64),
-            "dst_deg": np.array([], dtype=np.int64),
+            "src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64()),
+            "dst_deg": pa.array([], pa.int64()),
         }
     )
     if ek.size == 0:
         return empty
-    node = group["node"].to_numpy(np.int64)
-    deg = group["deg"].to_numpy(np.int64)
+    node = np_col(group, "node")
+    deg = np_col(group, "deg")
     order = np.lexsort((node, ek))
     ek, node, deg = ek[order], node[order], deg[order]
     keep = np.concatenate([[True], (ek[1:] != ek[:-1]) | (node[1:] != node[:-1])])
@@ -101,56 +101,60 @@ def orient_edges(group):
     src = np.where(a_first, a, b)
     dst = np.where(a_first, b, a)
     dst_deg = np.where(a_first, db, da)
-    return pd.DataFrame({"src": src, "dst": dst, "dst_deg": dst_deg})
+    return pa.table(
+        {"src": pa.array(src), "dst": pa.array(dst), "dst_deg": pa.array(dst_deg)}
+    )
 
 
 def gen_wedges(group):
     """Src bucket: per source, all ordered pairs of out-neighbors — the
     candidate closing edges, each carrying its witness apex."""
-    import pandas as pd
-
-    src = group["src"].to_numpy(np.int64)
-    empty = pd.DataFrame(
+    src = np_col(group, "src")
+    empty = pa.table(
         {
-            "w1": np.array([], dtype=np.int64),
-            "w2": np.array([], dtype=np.int64),
-            "apex": np.array([], dtype=np.int64),
+            "w1": pa.array([], pa.int64()),
+            "w2": pa.array([], pa.int64()),
+            "apex": pa.array([], pa.int64()),
         }
     )
     if src.size == 0:
         return empty
-    dst = group["dst"].to_numpy(np.int64)
-    dd = group["dst_deg"].to_numpy(np.int64)
+    dst = np_col(group, "dst")
+    dd = np_col(group, "dst_deg")
     order = np.lexsort((dst, dd, src))
     src, dst, dd = src[order], dst[order], dd[order]
     starts = np.flatnonzero(np.concatenate([[True], src[1:] != src[:-1]]))
     lens = np.diff(np.concatenate([starts, [src.size]]))
-    out = []
+    w1, w2, apex = [], [], []
     for s, ln in zip(starts[lens >= 2], lens[lens >= 2]):
         d = dst[s : s + ln]  # sorted by (deg, node) — the orientation order
         iu, ju = np.triu_indices(ln, 1)
-        out.append(
-            pd.DataFrame({"w1": d[iu], "w2": d[ju], "apex": np.full(iu.size, src[s])})
-        )
-    if not out:
+        w1.append(d[iu])
+        w2.append(d[ju])
+        apex.append(np.full(iu.size, src[s]))
+    if not w1:
         return empty
-    return pd.concat(out, ignore_index=True)
+    return pa.table(
+        {
+            "w1": pa.array(np.concatenate(w1)),
+            "w2": pa.array(np.concatenate(w2)),
+            "apex": pa.array(np.concatenate(apex)),
+        }
+    )
 
 
 def close_wedges(group):
     """Pair-key bucket of directed edges (kind 0) and wedge candidates
     (kind 1): every candidate whose key has an edge row closes a triangle —
     emit its three corners."""
-    import pandas as pd
-
-    empty = pd.DataFrame({"vec_id": np.array([], dtype=np.int64)})
-    pk = group["pair_key"].to_numpy(np.int64)
+    empty = pa.table({"vec_id": pa.array([], pa.int64())})
+    pk = np_col(group, "pair_key")
     if pk.size == 0:
         return empty
-    kind = group["kind"].to_numpy(np.int64)
-    w1 = group["w1"].to_numpy(np.int64)
-    w2 = group["w2"].to_numpy(np.int64)
-    apex = group["apex"].to_numpy(np.int64)
+    kind = np_col(group, "kind")
+    w1 = np_col(group, "w1")
+    w2 = np_col(group, "w2")
+    apex = np_col(group, "apex")
     order = np.lexsort((kind, pk))
     pk, kind, w1, w2, apex = pk[order], kind[order], w1[order], w2[order], apex[order]
     starts = np.flatnonzero(np.concatenate([[True], pk[1:] != pk[:-1]]))
@@ -166,4 +170,4 @@ def close_wedges(group):
             )
     if not out:
         return empty
-    return pd.DataFrame({"vec_id": np.concatenate(out)})
+    return pa.table({"vec_id": pa.array(np.concatenate(out))})

@@ -247,11 +247,14 @@ def _iter_crossing_chunks(group):
     lexicographically-smaller flagged side, which makes the emission exactly
     once across salt slices too. Work is chunked to _CHUNK_PAIRS candidate
     pairs so temporaries stay cache-resident."""
-    cell = group["cell"].to_numpy(np.int64)
+    from geo_ray.stages.agg import np_col
+
+    cell = np_col(group, "cell")
     if cell.size == 0:
         return
+    names = group.column_names if isinstance(group, pa.Table) else group.columns
     order = np.argsort(cell, kind="mergesort")
-    g = {c: group[c].to_numpy()[order] for c in group.columns}
+    g = {c: np_col(group, c)[order] for c in names}
     cell = cell[order]
     starts = np.flatnonzero(np.concatenate([[True], cell[1:] != cell[:-1]]))
     lens = np.diff(np.concatenate([starts, [cell.size]]))
@@ -312,8 +315,6 @@ def cell_crossing_counts(group):
     per-segment PARTIAL counts, so the final shuffle carries one row per
     (segment, bucket), not one per crossing pair (pair count is inherently
     quadratic on overlapping geometry)."""
-    import pandas as pd
-
     acc_doc, acc_seg = [], []
     for cols, i, j in _iter_crossing_chunks(group):
         acc_doc.append(cols["doc_id"][i])
@@ -321,22 +322,22 @@ def cell_crossing_counts(group):
         acc_seg.append(cols["seg_idx"][i])
         acc_seg.append(cols["seg_idx"][j])
     if not acc_doc:
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_id": np.array([], dtype=np.int64),
-                "seg_idx": np.array([], dtype=np.int64),
-                "n_partial": np.array([], dtype=np.int64),
+                "doc_id": pa.array([], pa.int64()),
+                "seg_idx": pa.array([], pa.int64()),
+                "n_partial": pa.array([], pa.int64()),
             }
         )
     d = np.concatenate(acc_doc)
     sgi = np.concatenate(acc_seg)
     key = (d << np.int64(2)) | sgi  # seg_idx in 1..3
     uk, counts = np.unique(key, return_counts=True)
-    return pd.DataFrame(
+    return pa.table(
         {
-            "doc_id": uk >> np.int64(2),
-            "seg_idx": uk & np.int64(3),
-            "n_partial": counts.astype(np.int64),
+            "doc_id": pa.array(uk >> np.int64(2)),
+            "seg_idx": pa.array(uk & np.int64(3)),
+            "n_partial": pa.array(counts.astype(np.int64)),
         }
     )
 
@@ -356,8 +357,6 @@ def cell_crossing_points(group):
     ``x = axa + t*dxa`` / ``y = aya + t*dya`` in micro-degrees, rounded
     half-away to 3 dp on both sides. Output is the true crossing set —
     unavoidable for this op; everything upstream stays partial/pruned."""
-    import pandas as pd
-
     from geo_ray.kernels import fixed as fixed_k
 
     acc = {k: [] for k in ("da", "sa", "db", "sb", "x", "y")}
@@ -381,23 +380,23 @@ def cell_crossing_points(group):
         acc["x"].append(axa.astype(np.float64) + t * dxa.astype(np.float64))
         acc["y"].append(aya.astype(np.float64) + t * dya.astype(np.float64))
     if not acc["da"]:
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_a": np.array([], dtype=np.int64),
-                "seg_a": np.array([], dtype=np.int64),
-                "doc_b": np.array([], dtype=np.int64),
-                "seg_b": np.array([], dtype=np.int64),
-                "x_um": np.array([], dtype=np.float64),
-                "y_um": np.array([], dtype=np.float64),
+                "doc_a": pa.array([], pa.int64()),
+                "seg_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "seg_b": pa.array([], pa.int64()),
+                "x_um": pa.array([], pa.float64()),
+                "y_um": pa.array([], pa.float64()),
             }
         )
-    return pd.DataFrame(
+    return pa.table(
         {
-            "doc_a": np.concatenate(acc["da"]),
-            "seg_a": np.concatenate(acc["sa"]),
-            "doc_b": np.concatenate(acc["db"]),
-            "seg_b": np.concatenate(acc["sb"]),
-            "x_um": fixed_k.round_half_away(np.concatenate(acc["x"]), 3),
-            "y_um": fixed_k.round_half_away(np.concatenate(acc["y"]), 3),
+            "doc_a": pa.array(np.concatenate(acc["da"])),
+            "seg_a": pa.array(np.concatenate(acc["sa"])),
+            "doc_b": pa.array(np.concatenate(acc["db"])),
+            "seg_b": pa.array(np.concatenate(acc["sb"])),
+            "x_um": pa.array(fixed_k.round_half_away(np.concatenate(acc["x"]), 3)),
+            "y_um": pa.array(fixed_k.round_half_away(np.concatenate(acc["y"]), 3)),
         }
     )
