@@ -169,6 +169,7 @@ def bench_queries(sf_dir: str):
         "knn_graph": lambda: Q.q_knn_graph(sf_dir),
         "sequence_packing": lambda: Q.q_sequence_packing(sf_dir),
         "winsorized_stats": lambda: Q.q_winsorized_stats(sf_dir),
+        "customer_order_profile": lambda: Q.q_customer_order_profile(sf_dir),
     }
 
 

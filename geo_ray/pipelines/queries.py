@@ -4195,6 +4195,79 @@ SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_items,
 FROM j GROUP BY c_mktsegment"""
 
 
+def q_customer_order_profile(sf_dir: str):
+    """Per-customer lifetime order profile INCLUDING order-less customers —
+    the LEFT OUTER member of the shuffle-join family
+    (stages/join.tagged_left_join): orders pre-aggregate per block to
+    (custkey, n, cents) partials, a groupby reduces them to one row per
+    active customer, and the left join attaches them to the full customer
+    table with COALESCE pushed into the join (fill = 0, keeping int64
+    dtypes through the shuffle). Output (c_custkey, c_mktsegment, n_orders,
+    total_spent) — order-less customers appear with zeros, the rows an
+    inner join silently drops."""
+    from ray.data.aggregate import Sum
+
+    from geo_ray.stages.agg import coalesce_for_shuffle
+    from geo_ray.stages.join import tagged_left_join
+
+    rd = _rd()
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ck = b["o_custkey"].to_numpy().astype(np.int64)
+        cents = np.rint(b["o_totalprice"].to_numpy() * 100).astype(np.int64)
+        order = np.argsort(ck, kind="mergesort")
+        ck, cents = ck[order], cents[order]
+        uk, starts = np.unique(ck, return_index=True)
+        n = np.diff(np.concatenate([starts, [ck.size]]))
+        return pa.table(
+            {
+                "o_custkey": pa.array(uk),
+                "n_part": pa.array(n.astype(np.int64)),
+                "cents_part": pa.array(
+                    np.add.reduceat(cents, starts) if uk.size else np.array([], np.int64)
+                ),
+            }
+        )
+
+    totals = (
+        coalesce_for_shuffle(
+            orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("n_part", alias_name="n_orders"), Sum("cents_part", alias_name="cents"))
+    )
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    j = tagged_left_join(
+        cust,
+        totals,
+        left_key="c_custkey",
+        right_key="o_custkey",
+        right_cols=["n_orders", "cents"],
+        fill={"n_orders": 0, "cents": 0},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        cents = b["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "c_mktsegment": b["c_mktsegment"],
+                "n_orders": b["n_orders"],
+                "total_spent": pa.array(fixed_k.round_half_away(cents / 100.0, 2)),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_CUSTOMER_ORDER_PROFILE = """SELECT c.c_custkey, c.c_mktsegment,
+  CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+  ROUND(CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0) AS DOUBLE) / 100.0, 2) AS total_spent
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_mktsegment"""
+
+
 # ---------------------------------------------------------------------------
 # broadcast dimension joins + exact-integer aggregation (engine generality)
 # ---------------------------------------------------------------------------

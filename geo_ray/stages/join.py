@@ -199,6 +199,38 @@ def tagged_semi_join(probe_ds, match_ds, probe_key, match_key=None, num_buckets:
     )
 
 
+def tagged_left_join(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    right_cols: list[str],
+    fill: dict,
+    num_buckets: int = 64,
+    hot_keys=None,
+    n_salt: int = 8,
+):
+    """LEFT OUTER equi-join with COALESCE pushed in: unmatched left rows
+    emit once with ``fill[col]`` in every right column (so dtypes stay
+    stable through the shuffle — no int64->float64 NaN promotion). Same
+    single co-partition plan, salting, and null-key refusal as
+    :func:`tagged_inner_join`; matched rows expand to their full right-side
+    multiplicity exactly like the inner join."""
+    if set(fill) != set(right_cols):
+        raise ValueError("fill must provide a value for every right column")
+    return tagged_inner_join(
+        left_ds,
+        right_ds,
+        left_key,
+        right_key,
+        right_cols,
+        num_buckets=num_buckets,
+        hot_keys=hot_keys,
+        n_salt=n_salt,
+        _left_fill=fill,
+    )
+
+
 def tagged_inner_join(
     left_ds,
     right_ds,
@@ -208,6 +240,7 @@ def tagged_inner_join(
     num_buckets: int = 64,
     hot_keys=None,
     n_salt: int = 8,
+    _left_fill: dict | None = None,
 ):
     """Large x large INNER equi-join through ONE key co-partition — the
     scale-safe sibling of :class:`BroadcastHashJoin` for fact x fact joins
@@ -294,8 +327,16 @@ def tagged_inner_join(
         r = g[side == 0]
         l = g[side == 1]
         out_cols = ["_k"] + lcarry + right_cols
-        if len(r) == 0 or len(l) == 0:
-            return l.iloc[0:0][out_cols].rename(columns={"_k": left_key})
+        empty = l.iloc[0:0][out_cols].rename(columns={"_k": left_key})
+        if len(l) == 0:
+            return empty
+        if len(r) == 0:
+            if _left_fill is None:
+                return empty
+            out = l.reset_index(drop=True).copy()
+            for c in right_cols:
+                out[c] = np.full(len(out), _left_fill[c])
+            return out[out_cols].rename(columns={"_k": left_key})
         rk = r["_k"].to_numpy(np.int64)
         order = np.argsort(rk, kind="mergesort")
         rk = rk[order]
@@ -304,14 +345,21 @@ def tagged_inner_join(
         hi = np.searchsorted(rk, lk, side="right")
         cnt = hi - lo
         total = int(cnt.sum())
-        if total == 0:
-            return l.iloc[0:0][out_cols].rename(columns={"_k": left_key})
+        if total == 0 and _left_fill is None:
+            return empty
         li = np.repeat(np.arange(lk.size, dtype=np.int64), cnt)
         offs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
         ri = np.repeat(lo, cnt) + offs
         out = l.iloc[li].reset_index(drop=True)
         for c in right_cols:
             out[c] = r[c].to_numpy()[order][ri]
+        if _left_fill is not None and (cnt == 0).any():
+            miss = l.iloc[np.flatnonzero(cnt == 0)].reset_index(drop=True).copy()
+            for c in right_cols:
+                miss[c] = np.full(len(miss), _left_fill[c])
+            import pandas as pd
+
+            out = pd.concat([out, miss], ignore_index=True)
         return out[out_cols].rename(columns={"_k": left_key})
 
     from geo_ray.stages.agg import hash_bucket_apply

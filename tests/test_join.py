@@ -259,3 +259,40 @@ def test_null_join_keys_rejected(ray_session):
         ).materialize()
     with pytest.raises(Exception, match="null values in join key"):
         tagged_anti_join(left, right, "k", exclude_key="rk", num_buckets=4).materialize()
+
+
+def test_tagged_left_join_matches_pandas_left_merge(ray_session):
+    """Unmatched left rows appear exactly once with the fill values; matched
+    rows expand to full right multiplicity — equal to pandas' left merge."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geo_ray.stages.join import tagged_left_join
+
+    rng = np.random.RandomState(7)
+    left = pd.DataFrame(
+        {"k": rng.randint(0, 40, 300), "payload": np.arange(300, dtype=np.int64)}
+    )
+    right = pd.DataFrame(
+        {"rk": rng.randint(20, 60, 150), "val": rng.randint(0, 1000, 150).astype(np.int64)}
+    )
+    got = (
+        tagged_left_join(
+            rd.from_arrow(pa.Table.from_pandas(left)).repartition(5),
+            rd.from_arrow(pa.Table.from_pandas(right)).repartition(4),
+            left_key="k",
+            right_key="rk",
+            right_cols=["val"],
+            fill={"val": -1},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["k", "payload", "val"])
+        .reset_index(drop=True)
+    )
+    want = left.merge(right, left_on="k", right_on="rk", how="left").drop(columns=["rk"])
+    want["val"] = want["val"].fillna(-1).astype(np.int64)
+    want = want.sort_values(["k", "payload", "val"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "payload", "val"]], want, check_dtype=True)
