@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_packing": Q.q_sequence_packing,
         "winsorized_stats": Q.q_winsorized_stats,
         "customer_order_profile": Q.q_customer_order_profile,
+        "training_shuffle": Q.q_training_shuffle,
         # newly SQL-oracled in round 4 (was rows-only since r1) — needs its
         # first oracle-checked driver row
         "simplify_lines": Q.q_simplify_lines,
@@ -241,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "sequence_packing": Q.SQL_SEQUENCE_PACKING,
         "winsorized_stats": Q.SQL_WINSORIZED_STATS,
         "customer_order_profile": Q.SQL_CUSTOMER_ORDER_PROFILE,
+        "training_shuffle": Q.SQL_TRAINING_SHUFFLE,
         "contamination_flags": Q.SQL_CONTAMINATION_FLAGS,
         "curation_pipeline": Q.SQL_CURATION_PIPELINE,
         "snap_roads": Q.SQL_SNAP_ROADS,

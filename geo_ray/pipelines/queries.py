@@ -937,6 +937,80 @@ SELECT lang, source, chunk_id, w AS window_id,
 FROM rec GROUP BY lang, source, chunk_id, w"""
 
 
+_SHUF_A = 6364136223846793005  # deterministic epoch-shuffle affine hash
+_SHUF_B = 1442695040888963407
+_N_SHARDS = 64
+
+
+def q_training_shuffle(sf_dir: str, n_shards: int = _N_SHARDS):
+    """Deterministic EPOCH SHUFFLE for training-data loading: each doc gets
+    a 64-bit affine hash h = (doc_id*A + B) mod 2^64, its shard is h mod
+    n_shards, and its position within the shard is the (h, doc_id) rank —
+    a reproducible global permutation with NO global sort: shard assignment
+    is a stateless map, and only the within-shard ordering needs
+    co-location (one hash-bucket shuffle, each bucket sorts its own
+    shards). Re-keying A/B per epoch gives a fresh order; the same keys
+    give bit-identical shards on every run/cluster — the property a
+    resumable training job needs. Output (doc_id, shard, pos)."""
+    from geo_ray.stages.agg import hash_bucket_apply
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        doc = b["doc_id"].to_numpy().astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = doc.view(np.uint64) * np.uint64(_SHUF_A) + np.uint64(_SHUF_B)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc),
+                "h": pa.array(h.view(np.int64)),  # two's-complement carrier
+                "shard": pa.array((h % np.uint64(n_shards)).astype(np.int64)),
+            }
+        )
+
+    def rank_bucket(g):
+        from geo_ray.stages.agg import np_col
+
+        shard = np_col(g, "shard")
+        if shard.size == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "shard": pa.array([], pa.int64()),
+                    "pos": pa.array([], pa.int64()),
+                }
+            )
+        doc = np_col(g, "doc_id")
+        h = np_col(g, "h").view(np.uint64)  # rank in UNSIGNED hash order
+        order = np.lexsort((doc, h, shard))
+        shard_s = shard[order]
+        starts = np.flatnonzero(np.concatenate([[True], shard_s[1:] != shard_s[:-1]]))
+        pos = np.arange(shard_s.size, dtype=np.int64) - np.repeat(starts, np.diff(np.concatenate([starts, [shard_s.size]])))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[order]),
+                "shard": pa.array(shard_s),
+                "pos": pa.array(pos + 1),
+            }
+        )
+
+    rows = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_bucket_apply(rows, "shard", rank_bucket, batch_format="pyarrow")
+
+
+# HUGEINT twin of the affine hash (the established mod-2^64 pattern from the
+# minhash oracle); rank over the UNSIGNED hash with doc_id tiebreak.
+SQL_TRAINING_SHUFFLE = f"""WITH h AS (
+  SELECT doc_id,
+         (doc_id::HUGEINT * {_SHUF_A} + {_SHUF_B}) % 18446744073709551616::HUGEINT AS hu
+  FROM documents
+)
+SELECT doc_id, CAST(hu % {_N_SHARDS} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hu % {_N_SHARDS} ORDER BY hu, doc_id) AS BIGINT) AS pos
+FROM h"""
+
+
 def q_quality_scores(sf_dir: str):
     from geo_ray.stages import text as text_st
 

@@ -173,3 +173,36 @@ def test_winsorized_stats_match_numpy_brute(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_training_shuffle_deterministic_permutation(ray_session):
+    """The epoch shuffle is a reproducible permutation: every doc exactly
+    once, positions 1..len contiguous per shard, equal to the single-process
+    unsigned-hash ranking, and bit-identical across runs."""
+    from geo_ray.pipelines import queries as Q
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
+    h = docs.astype(np.int64).view(np.uint64) * np.uint64(6364136223846793005) + np.uint64(
+        1442695040888963407
+    )
+    shard = (h % np.uint64(64)).astype(np.int64)
+    order = np.lexsort((docs, h, shard))
+    sh_s = shard[order]
+    starts = np.flatnonzero(np.concatenate([[True], sh_s[1:] != sh_s[:-1]]))
+    pos = (
+        np.arange(sh_s.size, dtype=np.int64)
+        - np.repeat(starts, np.diff(np.concatenate([starts, [sh_s.size]])))
+        + 1
+    )
+    want = pd.DataFrame(
+        {"doc_id": docs[order].astype(np.int64), "shard": sh_s, "pos": pos}
+    ).sort_values(["shard", "pos"]).reset_index(drop=True)
+    got1 = (
+        Q.q_training_shuffle(SF).to_pandas().sort_values(["shard", "pos"]).reset_index(drop=True)
+    )
+    got2 = (
+        Q.q_training_shuffle(SF).to_pandas().sort_values(["shard", "pos"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got1, want)
+    pd.testing.assert_frame_equal(got2, got1)
+    assert sorted(got1["doc_id"]) == sorted(docs.tolist())
