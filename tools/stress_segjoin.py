@@ -78,6 +78,9 @@ def main():
     ap.add_argument("--shards", type=int, default=64)
     ap.add_argument("--invariance", action="store_true",
                     help="re-run with a different bucket fan-out and compare")
+    ap.add_argument("--points", action="store_true",
+                    help="also run the intersection-POINTS stage and check its "
+                         "row count equals the pair count")
     args = ap.parse_args()
 
     import ray
@@ -136,11 +139,12 @@ def main():
         stats,
         re.S,
     )
+    def _sec(x):
+        return float(x[:-2]) / (1000.0 if x.endswith("ms") else 1.0) if x.endswith(("ms",)) else (
+            float(x[:-2]) / 1e6 if x.endswith("us") else float(x[:-1]))
+
     straggler = "n/a"
     if m:
-        def _sec(x):
-            return float(x[:-2]) / (1000.0 if x.endswith("ms") else 1.0) if x.endswith(("ms",)) else (
-                float(x[:-2]) / 1e6 if x.endswith("us") else float(x[:-1]))
         mx, mean = _sec(m.group(2)), _sec(m.group(3))
         straggler = round(mx / mean, 1) if mean else "n/a"
     print(
@@ -153,6 +157,35 @@ def main():
         ref = out.to_pandas().sort_values(["doc_id", "seg_idx"]).reset_index(drop=True)
         assert ref.equals(alt), "bucket fan-out changed the crossing counts!"
         print("invariance: counts identical at 64-way and 17-way bucketing")
+    if args.points:
+        def add_bucket64(b: pa.Table) -> pa.Table:
+            c = b["cell"].to_numpy()
+            return b.append_column("bucket", pa.array(mix32_np(c) % np.int64(64)))
+
+        t1 = time.time()
+        pts = hash_bucket_apply(
+            cells.map_batches(add_bucket64, batch_format="pyarrow", zero_copy_batch=True),
+            "bucket",
+            segjoin.cell_crossing_points,
+            num_blocks=64,
+            batch_format="pyarrow",
+        ).materialize()
+        pwall = time.time() - t1
+        n_pts = pts.count()
+        m = re.search(
+            r"MapBatches\(cell_crossing_points\).*?Remote wall time: (\S+) min, (\S+) max, (\S+) mean",
+            pts.stats(),
+            re.S,
+        )
+        pstrag = "n/a"
+        if m:
+            mx, mean = _sec(m.group(2)), _sec(m.group(3))
+            pstrag = round(mx / mean, 1) if mean else "n/a"
+        assert n_pts == total_crossings // 2, (n_pts, total_crossings // 2)
+        print(
+            f"points: intersection_rows={n_pts} (== pair count) wall={pwall:.1f}s "
+            f"rate={n_pts/pwall:,.0f} pts/s straggler_ratio={pstrag}"
+        )
     ray.shutdown()
 
 
