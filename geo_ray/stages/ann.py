@@ -257,19 +257,32 @@ class KnnGraphChunk:
         v = _embeddings_to_matrix(batch["embedding"])
         norms = np.sqrt((v * v).sum(axis=1))
         norms[norms == 0] = 1.0
-        cos6 = fixed_k.round_half_away((v / norms[:, None]) @ self.mat, 6)
-        cos6[pv[:, None] == self.vid[None, :]] = -np.inf  # exclude self
+        cos = (v / norms[:, None]) @ self.mat
+        cos[pv[:, None] == self.vid[None, :]] = -np.inf  # exclude self
         kk = min(self.k, self.vid.size)
-        # stable argsort of -cos6: ties fall back to column order == vec_id
-        top = np.argsort(-cos6, axis=1, kind="stable")[:, :kk]
-        rows = np.repeat(np.arange(pv.size), kk)
-        cols = top.ravel()
-        keep = np.isfinite(cos6[rows, cols])
+        # top-k under (cos6 DESC, vec_id ASC) without rounding or sorting
+        # the full matrix: rounding to 6 dp is MONOTONE, so the k-th largest
+        # rounded value is round6(k-th largest raw); a one-quantum margin
+        # (1e-6) below the raw k-th catches every candidate whose rounded
+        # value can reach it (value ties can't drop the id-ordered winner).
+        # Only the ~k survivors per row are rounded and lexsorted — the
+        # GEMM, one partition and one compare are the only full-matrix
+        # passes.
+        kth = np.partition(cos, cos.shape[1] - kk, axis=1)[:, cos.shape[1] - kk]
+        rows, cols = np.nonzero(cos >= (kth - 1e-6)[:, None])
+        cval = fixed_k.round_half_away(cos[rows, cols], 6)
+        order = np.lexsort((cols, -cval, rows))  # cols sorted == vec_id sorted
+        rows, cols, cval = rows[order], cols[order], cval[order]
+        starts = np.flatnonzero(np.concatenate([[True], rows[1:] != rows[:-1]]))
+        rank = np.arange(rows.size, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [rows.size]]))
+        )
+        keep = (rank < kk) & np.isfinite(cval)
         return pa.table(
             {
                 "vec_id": pa.array(pv[rows[keep]]),
                 "neighbor_id": pa.array(self.vid[cols[keep]]),
-                "cos_sim": pa.array(cos6[rows[keep], cols[keep]]),
+                "cos_sim": pa.array(cval[keep]),
             }
         )
 
