@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_stats": Q.q_winsorized_stats,
         "customer_order_profile": Q.q_customer_order_profile,
         "training_shuffle": Q.q_training_shuffle,
+        "dup_pagerank": Q.q_dup_pagerank,
         # newly SQL-oracled in round 4 (was rows-only since r1) — needs its
         # first oracle-checked driver row
         "simplify_lines": Q.q_simplify_lines,
@@ -243,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "winsorized_stats": Q.SQL_WINSORIZED_STATS,
         "customer_order_profile": Q.SQL_CUSTOMER_ORDER_PROFILE,
         "training_shuffle": Q.SQL_TRAINING_SHUFFLE,
+        "dup_pagerank": Q.SQL_DUP_PAGERANK,
         "contamination_flags": Q.SQL_CONTAMINATION_FLAGS,
         "curation_pipeline": Q.SQL_CURATION_PIPELINE,
         "snap_roads": Q.SQL_SNAP_ROADS,

@@ -171,6 +171,7 @@ def bench_queries(sf_dir: str):
         "winsorized_stats": lambda: Q.q_winsorized_stats(sf_dir),
         "customer_order_profile": lambda: Q.q_customer_order_profile(sf_dir),
         "training_shuffle": lambda: Q.q_training_shuffle(sf_dir),
+        "dup_pagerank": lambda: Q.q_dup_pagerank(sf_dir),
     }
 
 

@@ -5734,6 +5734,151 @@ deg AS (
 SELECT degree, COUNT(*) AS n_vecs FROM deg GROUP BY degree"""
 
 
+def q_dup_pagerank(sf_dir: str, iters: int = 3, d: float = 0.85):
+    """ITERATIVE distributed PageRank over the embedding near-dup graph
+    (tau=0.25, undirected → both directions) — the canonical iterative
+    dataflow, composed entirely from the engine's join family: per round,
+    edge contributions attach the current rank via a src-keyed
+    tagged_inner_join, per-block partial sums reduce per dst, and a
+    tagged_left_join(fill=0) writes the new rank for EVERY node including
+    rank sinks with no in-edges. Rank lives as a Dataset end to end —
+    nothing node-shaped ever funnels through the driver (driver state: the
+    scalar node count). Per-round 9-dp rounding keeps the loop-unrolled SQL
+    twin bit-compatible across rounds (the kmeans_iterate pattern: float
+    addition order differs by ~1e-16, four orders below the rounding
+    tick). Simplified PR (dangling mass absorbed): r' = (1-d)/N + d * Σ
+    r(u)/deg(u) over in-neighbors u."""
+    from ray.data.aggregate import Sum
+
+    from geo_ray.stages import ann as ann_st
+    from geo_ray.stages.agg import coalesce_for_shuffle
+    from geo_ray.stages.join import tagged_inner_join, tagged_left_join
+
+    path = f"{sf_dir}/embeddings.parquet"
+    rd = _rd()
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    pairs = ds.map_batches(ann_st.CosineNearDup(tau=0.25, path=path), batch_format="pyarrow")
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        a = b["vec_a"].to_numpy().astype(np.int64)
+        bb = b["vec_b"].to_numpy().astype(np.int64)
+        return pa.table(
+            {"src": pa.array(np.concatenate([a, bb])), "dst": pa.array(np.concatenate([bb, a]))}
+        )
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def deg_part(b: pa.Table) -> pa.Table:
+        u, c = np.unique(b["src"].to_numpy(), return_counts=True)
+        return pa.table({"src": pa.array(u), "n_part": pa.array(c.astype(np.int64))})
+
+    deg = (
+        coalesce_for_shuffle(edges.map_batches(deg_part, batch_format="pyarrow"))
+        .groupby("src")
+        .aggregate(Sum("n_part", alias_name="deg"))
+    )
+    edges_deg = tagged_inner_join(
+        edges, deg, left_key="src", right_key="src", right_cols=["deg"]
+    ).materialize()
+
+    nodes = ds.select_columns(["vec_id"]).materialize()
+    n_nodes = nodes.count()  # driver state: ONE scalar
+    r0 = 1.0 / n_nodes
+
+    def init_rank(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": b["vec_id"].cast(pa.int64()),
+                "r": pa.array(np.full(b.num_rows, r0, dtype=np.float64)),
+            }
+        )
+
+    ranks = nodes.map_batches(init_rank, batch_format="pyarrow").materialize()
+    base = (1.0 - d) / n_nodes
+
+    def contrib_part(b: pa.Table) -> pa.Table:
+        dst = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b["r"].to_numpy(zero_copy_only=False) / b["deg"].to_numpy(
+            zero_copy_only=False
+        ).astype(np.float64)
+        order = np.argsort(dst, kind="mergesort")
+        dst, c = dst[order], c[order]
+        uk, starts = np.unique(dst, return_index=True)
+        return pa.table(
+            {
+                "dst": pa.array(uk),
+                "s_part": pa.array(
+                    np.add.reduceat(c, starts) if uk.size else np.array([], np.float64)
+                ),
+            }
+        )
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "node": b["node"],
+                "r": pa.array(fixed_k.round_half_away(base + d * s, 9)),
+            }
+        )
+
+    for _ in range(iters):
+        j = tagged_inner_join(edges_deg, ranks, left_key="src", right_key="node", right_cols=["r"])
+        s = (
+            coalesce_for_shuffle(j.map_batches(contrib_part, batch_format="pyarrow"))
+            .groupby("dst")
+            .aggregate(Sum("s_part", alias_name="s"))
+        )
+        ranks = (
+            tagged_left_join(
+                nodes.map_batches(init_rank, batch_format="pyarrow").select_columns(["node"]),
+                s,
+                left_key="node",
+                right_key="dst",
+                right_cols=["s"],
+                fill={"s": 0.0},
+            )
+            .map_batches(finish, batch_format="pyarrow")
+            .materialize()
+        )
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": b["node"], "pagerank": b["r"]})
+
+    return ranks.map_batches(out, batch_format="pyarrow")
+
+
+def _pagerank_sql(iters: int = 3, d: float = 0.85) -> str:
+    """Loop-unrolled twin: one (contribution-sum, rank) CTE pair per round,
+    identical 9-dp rounding; COALESCE(s, 0) mirrors the left-join fill."""
+    cte = """WITH e AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.25
+), ed AS (
+  SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e
+), deg AS (
+  SELECT src, COUNT(*) AS deg FROM ed GROUP BY src
+), nn AS (SELECT COUNT(*) AS n FROM embeddings
+), r0 AS (
+  SELECT vec_id AS node, 1.0 / (SELECT n FROM nn) AS r FROM embeddings
+)"""
+    for t in range(iters):
+        cte += f""", s{t + 1} AS (
+  SELECT ed.dst AS node, SUM(r{t}.r / deg.deg) AS s
+  FROM ed JOIN deg USING (src) JOIN r{t} ON r{t}.node = ed.src
+  GROUP BY ed.dst
+), r{t + 1} AS (
+  SELECT r{t}.node,
+         ROUND(({1.0!r} - {d!r}) / (SELECT n FROM nn) + {d!r} * COALESCE(s{t + 1}.s, 0), 9) AS r
+  FROM r{t} LEFT JOIN s{t + 1} USING (node)
+)"""
+    return cte + f"\nSELECT node AS vec_id, r AS pagerank FROM r{iters}"
+
+
+SQL_DUP_PAGERANK = _pagerank_sql()
+
+
 def q_kmeans_iterate(sf_dir: str, iters: int = 2):
     """Distributed k-means (Lloyd) over the embedding table: ``iters`` full
     assign→update rounds starting from the deterministic seed centroids,

@@ -206,3 +206,39 @@ def test_training_shuffle_deterministic_permutation(ray_session):
     pd.testing.assert_frame_equal(got1, want)
     pd.testing.assert_frame_equal(got2, got1)
     assert sorted(got1["doc_id"]) == sorted(docs.tolist())
+
+
+def test_dup_pagerank_matches_sequential(ray_session):
+    """Distributed iterative PR == single-process numpy iteration with the
+    same per-round 9-dp rounding."""
+    from geo_ray.kernels import fixed as fixed_k
+    from geo_ray.pipelines import queries as Q
+    from geo_ray.stages.ann import CosineNearDup
+
+    path = f"{SF}/embeddings.parquet"
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    nd = CosineNearDup(tau=0.25, path=path)
+    pairs = nd(t).to_pandas()
+    vid = np.sort(t["vec_id"].to_numpy().astype(np.int64))
+    idx = {v: i for i, v in enumerate(vid)}
+    n = vid.size
+    src = np.concatenate([pairs["vec_a"], pairs["vec_b"]]).astype(np.int64)
+    dst = np.concatenate([pairs["vec_b"], pairs["vec_a"]]).astype(np.int64)
+    si = np.array([idx[v] for v in src])
+    di = np.array([idx[v] for v in dst])
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, si, 1)
+    r = np.full(n, 1.0 / n)
+    base = (1.0 - 0.85) / n
+    for _ in range(3):
+        s = np.zeros(n)
+        np.add.at(s, di, r[si] / deg[si])
+        r = fixed_k.round_half_away(base + 0.85 * s, 9)
+    want = pd.DataFrame({"vec_id": vid, "pagerank": r})
+    got = (
+        Q.q_dup_pagerank(SF)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
