@@ -5736,23 +5736,16 @@ SELECT degree, COUNT(*) AS n_vecs FROM deg GROUP BY degree"""
 
 def q_dup_pagerank(sf_dir: str, iters: int = 3, d: float = 0.85):
     """ITERATIVE distributed PageRank over the embedding near-dup graph
-    (tau=0.25, undirected → both directions) — the canonical iterative
-    dataflow, composed entirely from the engine's join family: per round,
-    edge contributions attach the current rank via a src-keyed
-    tagged_inner_join, per-block partial sums reduce per dst, and a
-    tagged_left_join(fill=0) writes the new rank for EVERY node including
-    rank sinks with no in-edges. Rank lives as a Dataset end to end —
-    nothing node-shaped ever funnels through the driver (driver state: the
-    scalar node count). Per-round 9-dp rounding keeps the loop-unrolled SQL
-    twin bit-compatible across rounds (the kmeans_iterate pattern: float
-    addition order differs by ~1e-16, four orders below the rounding
-    tick). Simplified PR (dangling mass absorbed): r' = (1-d)/N + d * Σ
-    r(u)/deg(u) over in-neighbors u."""
-    from ray.data.aggregate import Sum
-
+    (tau=0.25, undirected -> both directions) — the canonical iterative
+    dataflow, composed entirely from the engine's join family (see
+    stages/graph.pagerank for the plan: per round a src-keyed
+    tagged_inner_join attaches rank, per-dst partials reduce, a
+    tagged_left_join(fill=0) writes every node's new rank; rank stays a
+    Dataset end to end, driver state is one scalar). Per-round 9-dp
+    rounding keeps the loop-unrolled SQL twin bit-compatible. Simplified PR
+    (dangling mass absorbed): r' = (1-d)/N + d * sum r(u)/deg(u)."""
     from geo_ray.stages import ann as ann_st
-    from geo_ray.stages.agg import coalesce_for_shuffle
-    from geo_ray.stages.join import tagged_inner_join, tagged_left_join
+    from geo_ray.stages import graph as graph_st
 
     path = f"{sf_dir}/embeddings.parquet"
     rd = _rd()
@@ -5767,80 +5760,8 @@ def q_dup_pagerank(sf_dir: str, iters: int = 3, d: float = 0.85):
         )
 
     edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
-
-    def deg_part(b: pa.Table) -> pa.Table:
-        u, c = np.unique(b["src"].to_numpy(), return_counts=True)
-        return pa.table({"src": pa.array(u), "n_part": pa.array(c.astype(np.int64))})
-
-    deg = (
-        coalesce_for_shuffle(edges.map_batches(deg_part, batch_format="pyarrow"))
-        .groupby("src")
-        .aggregate(Sum("n_part", alias_name="deg"))
-    )
-    edges_deg = tagged_inner_join(
-        edges, deg, left_key="src", right_key="src", right_cols=["deg"]
-    ).materialize()
-
-    nodes = ds.select_columns(["vec_id"]).materialize()
-    n_nodes = nodes.count()  # driver state: ONE scalar
-    r0 = 1.0 / n_nodes
-
-    def init_rank(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": b["vec_id"].cast(pa.int64()),
-                "r": pa.array(np.full(b.num_rows, r0, dtype=np.float64)),
-            }
-        )
-
-    ranks = nodes.map_batches(init_rank, batch_format="pyarrow").materialize()
-    base = (1.0 - d) / n_nodes
-
-    def contrib_part(b: pa.Table) -> pa.Table:
-        dst = b["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
-        c = b["r"].to_numpy(zero_copy_only=False) / b["deg"].to_numpy(
-            zero_copy_only=False
-        ).astype(np.float64)
-        order = np.argsort(dst, kind="mergesort")
-        dst, c = dst[order], c[order]
-        uk, starts = np.unique(dst, return_index=True)
-        return pa.table(
-            {
-                "dst": pa.array(uk),
-                "s_part": pa.array(
-                    np.add.reduceat(c, starts) if uk.size else np.array([], np.float64)
-                ),
-            }
-        )
-
-    def finish(b: pa.Table) -> pa.Table:
-        s = b["s"].to_numpy(zero_copy_only=False).astype(np.float64)
-        return pa.table(
-            {
-                "node": b["node"],
-                "r": pa.array(fixed_k.round_half_away(base + d * s, 9)),
-            }
-        )
-
-    for _ in range(iters):
-        j = tagged_inner_join(edges_deg, ranks, left_key="src", right_key="node", right_cols=["r"])
-        s = (
-            coalesce_for_shuffle(j.map_batches(contrib_part, batch_format="pyarrow"))
-            .groupby("dst")
-            .aggregate(Sum("s_part", alias_name="s"))
-        )
-        ranks = (
-            tagged_left_join(
-                nodes.map_batches(init_rank, batch_format="pyarrow").select_columns(["node"]),
-                s,
-                left_key="node",
-                right_key="dst",
-                right_cols=["s"],
-                fill={"s": 0.0},
-            )
-            .map_batches(finish, batch_format="pyarrow")
-            .materialize()
-        )
+    nodes = ds.select_columns(["vec_id"]).rename_columns(["node"]).materialize()
+    ranks = graph_st.pagerank(edges, nodes, nodes.count(), iters=iters, d=d)
 
     def out(b: pa.Table) -> pa.Table:
         return pa.table({"vec_id": b["node"], "pagerank": b["r"]})

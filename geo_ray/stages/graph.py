@@ -171,3 +171,114 @@ def close_wedges(group):
     if not out:
         return empty
     return pa.table({"vec_id": pa.array(np.concatenate(out))})
+
+
+def _mix_bucket(k: np.ndarray, nb: int) -> np.ndarray:
+    h = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+    return (h % np.uint64(nb)).astype(np.int64)
+
+
+def pagerank(edges_ds, nodes_ds, n_nodes: int, iters: int = 3, d: float = 0.85):
+    """Simplified distributed PageRank (dangling mass absorbed) over a
+    directed (src, dst) edge Dataset — the iterative-dataflow composition of
+    the join family. Per round: a src-keyed tagged_inner_join attaches the
+    current rank to edges (measured the cheap part), and ONE fused node-hash
+    co-partition both sums the per-dst contribution partials and writes the
+    new rank — the nodes ride the same shuffle as zero-contribution rows, so
+    rank sinks get (1-d)/N with no separate left join, and no sort-based
+    groupby ever runs (Ray's sort groupby on a wide key domain measured
+    ~20 s/round at 4M edge rows vs ~2 s for the hash-bucket path). Rank
+    lives as a Dataset end to end; driver state is the ``n_nodes`` scalar.
+    Per-round 9-dp rounding keeps loop-unrolled SQL twins bit-compatible
+    (float addition order differs by ~1e-16, four orders below the tick).
+    Returns a (node, r) Dataset."""
+    from geo_ray.kernels import fixed as fixed_k
+    from geo_ray.stages.agg import combine_sums, default_num_blocks, hash_bucket_apply
+    from geo_ray.stages.join import tagged_inner_join
+
+    nb = default_num_blocks()
+
+    def deg_part(b: pa.Table) -> pa.Table:
+        u, c = np.unique(np_col(b, "src"), return_counts=True)
+        return pa.table(
+            {
+                "src": pa.array(u),
+                "n_part": pa.array(c.astype(np.int64)),
+                "bucket": pa.array(_mix_bucket(u, nb)),
+            }
+        )
+
+    deg = hash_bucket_apply(
+        edges_ds.map_batches(deg_part, batch_format="pyarrow"),
+        "bucket",
+        lambda b: combine_sums(b, "src", "n_part").rename_columns(["src", "deg"]),
+        num_blocks=nb,
+        batch_format="pyarrow",
+    )
+    edges_deg = tagged_inner_join(
+        edges_ds, deg, left_key="src", right_key="src", right_cols=["deg"]
+    ).materialize()
+
+    r0 = 1.0 / n_nodes
+    base = (1.0 - d) / n_nodes
+
+    def init_rank(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": b["node"].cast(pa.int64()),
+                "r": pa.array(np.full(b.num_rows, r0, dtype=np.float64)),
+            }
+        )
+
+    ranks = nodes_ds.map_batches(init_rank, batch_format="pyarrow").materialize()
+    node_rows = ranks.select_columns(["node"]).map_batches(
+        lambda b: pa.table(
+            {
+                "node": b["node"],
+                "s_part": pa.array(np.zeros(b.num_rows, dtype=np.float64)),
+                "bucket": pa.array(_mix_bucket(np_col(b, "node"), nb)),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def contrib_part(b: pa.Table) -> pa.Table:
+        dst = np_col(b, "dst")
+        c = b["r"].to_numpy(zero_copy_only=False) / np_col(b, "deg").astype(np.float64)
+        order = np.argsort(dst, kind="mergesort")
+        dst, c = dst[order], c[order]
+        uk, starts = np.unique(dst, return_index=True)
+        return pa.table(
+            {
+                "node": pa.array(uk),
+                "s_part": pa.array(
+                    np.add.reduceat(c, starts) if uk.size else np.array([], np.float64)
+                ),
+                "bucket": pa.array(_mix_bucket(uk, nb)),
+            }
+        )
+
+    def update_bucket(b: pa.Table) -> pa.Table:
+        # every node of this bucket has at least its zero row, so the
+        # combined sums cover all nodes; finish the rank in place
+        t = combine_sums(b, "node", "s_part")
+        s = t["s_part"].to_numpy()
+        return pa.table(
+            {
+                "node": t["node"],
+                "r": pa.array(fixed_k.round_half_away(base + d * s, 9)),
+            }
+        )
+
+    for _ in range(iters):
+        j = tagged_inner_join(
+            edges_deg, ranks, left_key="src", right_key="node", right_cols=["r"]
+        )
+        ranks = hash_bucket_apply(
+            node_rows.union(j.map_batches(contrib_part, batch_format="pyarrow")),
+            "bucket",
+            update_bucket,
+            num_blocks=nb,
+            batch_format="pyarrow",
+        ).materialize()
+    return ranks
