@@ -3488,6 +3488,8 @@ def q_knn_graph(sf_dir: str, k: int = 3, n_chunks: int = 4):
     beyond k rows per (probe, shard)."""
     from geo_ray.stages import ann as ann_st
 
+    from geo_ray.stages.agg import default_num_blocks, hash_bucket_apply
+
     path = f"{sf_dir}/embeddings.parquet"
     rd = _rd()
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
@@ -3497,8 +3499,18 @@ def q_knn_graph(sf_dir: str, k: int = 3, n_chunks: int = 4):
             ann_st.KnnGraphChunk(c, n_chunks, path, k), batch_format="pyarrow"
         )
         parts = p if parts is None else parts.union(p)
-    return parts.groupby("vec_id").map_groups(
-        lambda g: ann_st.finish_knn_graph(g, k), batch_format="pandas"
+    nb = default_num_blocks()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        v = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("bucket", pa.array(mix32_np(v) % np.int64(nb)))
+
+    return hash_bucket_apply(
+        parts.map_batches(add_bucket, batch_format="pyarrow"),
+        "bucket",
+        lambda g: ann_st.merge_knn_bucket(g, k),
+        num_blocks=nb,
+        batch_format="pyarrow",
     )
 
 

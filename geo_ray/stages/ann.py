@@ -295,3 +295,40 @@ def finish_knn_graph(group, k: int = 3):
     ).head(k).copy()
     g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
     return g
+
+
+def merge_knn_bucket(b, k: int = 3):
+    """Bucket-level merge of per-shard partial top-k rows: one vectorized
+    lexsort per bucket segments all of its probes at once (the per-group
+    map_groups form measured one Python call per probe). Same
+    (cos6 DESC, neighbor ASC) total order; emits rank 1..k per probe."""
+    from geo_ray.stages.agg import np_col
+
+    vid = np_col(b, "vec_id")
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "cos_sim": pa.array([], pa.float64()),
+            "rank": pa.array([], pa.int64()),
+        }
+    )
+    if vid.size == 0:
+        return empty
+    nid = np_col(b, "neighbor_id")
+    c = b["cos_sim"].to_numpy(zero_copy_only=False).astype(np.float64)
+    order = np.lexsort((nid, -c, vid))
+    vid, nid, c = vid[order], nid[order], c[order]
+    starts = np.flatnonzero(np.concatenate([[True], vid[1:] != vid[:-1]]))
+    rank = np.arange(vid.size, dtype=np.int64) - np.repeat(
+        starts, np.diff(np.concatenate([starts, [vid.size]]))
+    )
+    keep = rank < k
+    return pa.table(
+        {
+            "vec_id": pa.array(vid[keep]),
+            "neighbor_id": pa.array(nid[keep]),
+            "cos_sim": pa.array(c[keep]),
+            "rank": pa.array(rank[keep] + 1),
+        }
+    )

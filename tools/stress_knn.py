@@ -56,7 +56,9 @@ def synth_corpus(n: int, out_dir: str, shards: int = 32):
 def knn_graph_over(path: str, k: int, n_chunks: int, probe_blocks: int = 64):
     import ray.data as rd
 
+    from geo_ray.pipelines.queries import mix32_np
     from geo_ray.stages import ann as ann_st
+    from geo_ray.stages.agg import default_num_blocks, hash_bucket_apply
 
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"]).repartition(probe_blocks)
     parts = None
@@ -65,8 +67,18 @@ def knn_graph_over(path: str, k: int, n_chunks: int, probe_blocks: int = 64):
             ann_st.KnnGraphChunk(c, n_chunks, path, k), batch_format="pyarrow"
         )
         parts = p if parts is None else parts.union(p)
-    return parts.groupby("vec_id").map_groups(
-        lambda g: ann_st.finish_knn_graph(g, k), batch_format="pandas"
+    nb = default_num_blocks()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        v = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("bucket", pa.array(mix32_np(v) % np.int64(nb)))
+
+    return hash_bucket_apply(
+        parts.map_batches(add_bucket, batch_format="pyarrow"),
+        "bucket",
+        lambda g: ann_st.merge_knn_bucket(g, k),
+        num_blocks=nb,
+        batch_format="pyarrow",
     )
 
 
