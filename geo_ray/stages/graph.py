@@ -146,8 +146,13 @@ def gen_wedges(group):
 def close_wedges(group):
     """Pair-key bucket of directed edges (kind 0) and wedge candidates
     (kind 1): every candidate whose key has an edge row closes a triangle —
-    emit its three corners."""
-    empty = pa.table({"vec_id": pa.array([], pa.int64())})
+    emit per-corner PARTIAL counts (np.unique over the three corner slots),
+    so the final shuffle carries one row per (node, bucket) instead of
+    three rows per triangle (corner volume is 3x the triangle count, which
+    dwarfs the node count on dense duplicate clusters)."""
+    empty = pa.table(
+        {"vec_id": pa.array([], pa.int64()), "n_partial": pa.array([], pa.int64())}
+    )
     pk = np_col(group, "pair_key")
     if pk.size == 0:
         return empty
@@ -170,7 +175,8 @@ def close_wedges(group):
             )
     if not out:
         return empty
-    return pa.table({"vec_id": pa.array(np.concatenate(out))})
+    u, cnt = np.unique(np.concatenate(out), return_counts=True)
+    return pa.table({"vec_id": pa.array(u), "n_partial": pa.array(cnt.astype(np.int64))})
 
 
 def _mix_bucket(k: np.ndarray, nb: int) -> np.ndarray:

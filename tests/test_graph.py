@@ -8,7 +8,7 @@ import pyarrow as pa
 def _count(edges_uv, nb=5):
     """Run the full stage chain locally over one synthetic edge list."""
     import ray.data as rd
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
     from geo_ray.pipelines.queries import mix32_np
     from geo_ray.stages import graph as g
@@ -90,7 +90,9 @@ def _count(edges_uv, nb=5):
         .map_batches(pbucket, batch_format="pyarrow")
     )
     corners = hash_bucket_apply(tagged, "bucket", g.close_wedges, num_blocks=nb)
-    df = corners.groupby("vec_id").aggregate(Count(alias_name="n")).to_pandas()
+    # close_wedges emits per-corner PARTIAL counts (one row per node per
+    # bucket), so the final reduce is a Sum, mirroring q_dup_triangles
+    df = corners.groupby("vec_id").aggregate(Sum("n_partial", alias_name="n")).to_pandas()
     return dict(zip(df["vec_id"], df["n"])) if len(df) else {}
 
 

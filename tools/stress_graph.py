@@ -53,7 +53,7 @@ def count_triangles(edges, nb: int = 64):
     duplicates — deduped in the first co-partition). Returns the per-node
     triangle membership Dataset."""
     import pyarrow.compute as pc  # noqa: F401
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Sum
 
     from geo_ray.pipelines.queries import mix32_np
     from geo_ray.stages import graph as g
@@ -151,9 +151,13 @@ def count_triangles(edges, nb: int = 64):
         .union(wedges.map_batches(cand_side, batch_format="pyarrow"))
         .map_batches(pbucket, batch_format="pyarrow")
     )
-    corners = hash_bucket_apply(tagged, "bucket", g.close_wedges, num_blocks=nb)
+    corners = hash_bucket_apply(
+        tagged, "bucket", g.close_wedges, num_blocks=nb, batch_format="pyarrow"
+    )
+    # close_wedges emits per-corner PARTIAL counts; Sum them (Count over
+    # rows would count partials, not corners)
     return coalesce_for_shuffle(corners).groupby("vec_id").aggregate(
-        Count(alias_name="n_triangles")
+        Sum("n_partial", alias_name="n_triangles")
     )
 
 
