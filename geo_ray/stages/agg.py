@@ -187,3 +187,35 @@ def tree_max(ds, key: str, value: str, fanout: int = 8):
     return ds.repartition(1).map_batches(
         combine, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     )
+
+
+def hash_sum(ds, key: str, value: str, out_value: str | None = None, num_blocks: int | None = None):
+    """(key, partial) rows -> (key, total) rows via a hash-bucket
+    co-partition instead of Ray's sort-based groupby — the sort on a wide
+    int64 key domain measured ~20 s at 4M rows where the 64-value bucket
+    sort takes ~2 s (BASELINE.md round 4). Key must be int64-able; output
+    co-locates by key hash."""
+    nb = num_blocks if num_blocks is not None else default_num_blocks()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = b[key].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return pa.table(
+            {
+                key: b[key],
+                value: b[value],
+                "_sb": pa.array((h % np.uint64(nb)).astype(np.int64)),
+            }
+        )
+
+    def bucket_sum(b: pa.Table) -> pa.Table:
+        t = combine_sums(b, key, value)
+        return t.rename_columns([key, out_value]) if out_value else t
+
+    return hash_bucket_apply(
+        ds.map_batches(add_bucket, batch_format="pyarrow"),
+        "_sb",
+        bucket_sum,
+        num_blocks=nb,
+        batch_format="pyarrow",
+    )
