@@ -25,8 +25,8 @@ def query_matrix(n_queries: int = 8, dim: int = EMBED_DIM) -> np.ndarray:
     return ((q % 19) - 9) / 10.0
 
 
-def _embeddings_to_matrix(col: pa.ChunkedArray) -> np.ndarray:
-    arr = col.combine_chunks()
+def _embeddings_to_matrix(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     return flat.reshape(len(arr), -1)
 
@@ -121,32 +121,52 @@ class CosineNearDup:
         )
 
 
-def neardup_bucket(group, tau: float = 0.4):
-    """map_groups over IVF centroid partitions: exact all-pairs cosine within
-    ONE bucket (normalize + one GEMM), emitting (vec_a < vec_b) pairs with
-    round(cos, 6) >= tau.
+def neardup_bucket(group: pa.Table, tau: float = 0.4) -> pa.Table:
+    """Bucketed stage fn over IVF centroid partitions (Arrow blocks; a block
+    may hold SEVERAL centroid buckets — segmented by centroid_id internally):
+    exact all-pairs cosine within each bucket (normalize + one GEMM per
+    bucket), emitting (vec_a < vec_b) pairs with round(cos, 6) >= tau.
 
     This is the scale path for embedding near-dup (``CosineNearDup``'s
     docstring contract): compute is O(sum of bucket_size^2) instead of
-    O(n * N), and no worker ever holds the full matrix — only its bucket.
+    O(n * N), and no worker ever holds the full matrix — only its buckets.
     Recall contract: a pair is found iff BOTH vectors map to the same coarse
     centroid; cross-bucket near-dups are missed by construction (the brute
     pass is the recall oracle; tests pin the subset relation)."""
-    import pandas as pd
+    from geo_ray.stages.agg import np_col
 
-    ids = group["vec_id"].to_numpy().astype(np.int64)
-    order = np.argsort(ids, kind="mergesort")
-    ids = ids[order]
-    emb = np.stack(group["embedding"].to_numpy()[order]).astype(np.float64)
-    norms = np.sqrt((emb * emb).sum(axis=1))
-    norms[norms == 0] = 1.0
-    vn = emb / norms[:, None]
-    cos = vn @ vn.T
-    iu, ju = np.triu_indices(ids.size, 1)
-    sim = fixed_k.round_half_away(cos[iu, ju], 6)
-    keep = sim >= tau
-    return pd.DataFrame(
-        {"vec_a": ids[iu[keep]], "vec_b": ids[ju[keep]], "cos_sim": sim[keep]}
+    out_a, out_b, out_s = [], [], []
+    if group.num_rows:
+        cent = np_col(group, "centroid_id") if "centroid_id" in group.column_names else None
+        ids = np_col(group, "vec_id")
+        emb = _embeddings_to_matrix(group["embedding"])
+        if cent is None:
+            cent = np.zeros(ids.size, dtype=np.int64)
+        order = np.lexsort((ids, cent))
+        cent, ids, emb = cent[order], ids[order], emb[order]
+        norms = np.sqrt((emb * emb).sum(axis=1))
+        norms[norms == 0] = 1.0
+        vn = emb / norms[:, None]
+        starts = np.flatnonzero(np.concatenate([[True], cent[1:] != cent[:-1]]))
+        bounds = np.concatenate([starts, [cent.size]])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            n = e - s
+            if n < 2:
+                continue
+            cos = vn[s:e] @ vn[s:e].T
+            iu, ju = np.triu_indices(n, 1)
+            sim = fixed_k.round_half_away(cos[iu, ju], 6)
+            keep = sim >= tau
+            out_a.append(ids[s:e][iu[keep]])
+            out_b.append(ids[s:e][ju[keep]])
+            out_s.append(sim[keep])
+    cat = lambda xs, dt: np.concatenate(xs) if xs else np.array([], dt)  # noqa: E731
+    return pa.table(
+        {
+            "vec_a": pa.array(cat(out_a, np.int64)),
+            "vec_b": pa.array(cat(out_b, np.int64)),
+            "cos_sim": pa.array(cat(out_s, np.float64)),
+        }
     )
 
 
@@ -227,15 +247,30 @@ class KnnGraphChunk:
     then merge is exactly the global top-k (selection under a total order is
     associative). The shard matrix sorts by vec_id in ``__init__`` (once per
     actor) so a stable argsort on -cos6 tie-breaks by neighbor id for free.
+
+    With ``sharded=True``, ``path`` is a hash-sharded hive layout
+    (``<path>/shard=<c>/``, the ann_index_job partitioning) and the loader
+    reads ONLY its shard's files — no n_chunks× read amplification, and the
+    load happens on the worker (via :func:`knn_chunk_fn`'s per-worker
+    cache, never a driver-built instance). The flat ``path`` mode (full
+    read + hash filter) remains for local/stress use where no layout
+    exists.
     """
 
-    def __init__(self, chunk_id: int, n_chunks: int, path: str, k: int = 3):
+    def __init__(
+        self, chunk_id: int, n_chunks: int, path: str, k: int = 3, sharded: bool = False
+    ):
         import pyarrow.parquet as pq
 
-        t = pq.read_table(path, columns=["vec_id", "embedding"])
-        vid = t["vec_id"].to_numpy().astype(np.int64)
-        sel = np.flatnonzero(vid % np.int64(n_chunks) == np.int64(chunk_id))
-        order = sel[np.argsort(vid[sel], kind="mergesort")]
+        if sharded:
+            t = pq.read_table(f"{path}/shard={chunk_id}", columns=["vec_id", "embedding"])
+            vid = t["vec_id"].to_numpy().astype(np.int64)
+            order = np.argsort(vid, kind="mergesort")
+        else:
+            t = pq.read_table(path, columns=["vec_id", "embedding"])
+            vid = t["vec_id"].to_numpy().astype(np.int64)
+            sel = np.flatnonzero(vid % np.int64(n_chunks) == np.int64(chunk_id))
+            order = sel[np.argsort(vid[sel], kind="mergesort")]
         self.vid = vid[order]
         m = _embeddings_to_matrix(t["embedding"])[order]
         norms = np.sqrt((m * m).sum(axis=1))
@@ -287,14 +322,29 @@ class KnnGraphChunk:
         )
 
 
-def finish_knn_graph(group, k: int = 3):
-    """Merge per-shard partial top-k rows of one probe: same
-    (cos6 DESC, neighbor ASC) total order, global top-k with a dense rank."""
-    g = group.sort_values(
-        ["cos_sim", "neighbor_id"], ascending=[False, True], kind="mergesort"
-    ).head(k).copy()
-    g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-    return g
+_KNN_SHARD_CACHE: dict = {}
+
+
+def knn_chunk_fn(batch: pa.Table, *, chunk_id: int, n_chunks: int, path: str, k: int = 3,
+                 sharded: bool = True) -> pa.Table:
+    """Task-form wrapper around :class:`KnnGraphChunk` with a per-worker-
+    process shard cache: the first batch a worker sees for a given shard
+    loads that shard's files (on the worker — the driver never reads the
+    corpus) and every later batch reuses the matrix, since Ray reuses worker
+    processes across tasks. Task-based on purpose: one actor pool PER shard
+    reserves ``n_chunks`` CPUs at minimum and deadlocks any session (or
+    per-node share of a cluster) smaller than the shard count, whereas
+    tasks schedule within whatever is free. The cache holds at most two
+    shard matrices per worker (a worker interleaving shards evicts LRU), so
+    worker heap stays bounded by ~2 x shard_size regardless of n_chunks."""
+    key = (path, chunk_id, n_chunks, k, sharded)
+    st = _KNN_SHARD_CACHE.pop(key, None)
+    if st is None:
+        st = KnnGraphChunk(chunk_id, n_chunks, path, k, sharded)
+        while len(_KNN_SHARD_CACHE) >= 2:
+            _KNN_SHARD_CACHE.pop(next(iter(_KNN_SHARD_CACHE)))
+    _KNN_SHARD_CACHE[key] = st  # re-insert == move to MRU position
+    return st(batch)
 
 
 def merge_knn_bucket(b, k: int = 3):

@@ -195,9 +195,17 @@ def pagerank(edges_ds, nodes_ds, n_nodes: int, iters: int = 3, d: float = 0.85):
     groupby ever runs (Ray's sort groupby on a wide key domain measured
     ~20 s/round at 4M edge rows vs ~2 s for the hash-bucket path). Rank
     lives as a Dataset end to end; driver state is the ``n_nodes`` scalar.
-    Per-round 9-dp rounding keeps loop-unrolled SQL twins bit-compatible
-    (float addition order differs by ~1e-16, four orders below the tick).
-    Returns a (node, r) Dataset."""
+
+    Ranks are FIXED-POINT int64 nanos (rn = rank * 1e9): per-edge
+    contributions are exact integer floor divisions ``rn // deg`` and the
+    per-dst reduce is an exact int64 sum, so the result is independent of
+    summation order — a float reduce here diverges from a SQL twin whenever
+    a contribution sum lands within reassociation noise (~1e-16) of a
+    0.5e-9 rounding boundary (ADVICE r4), and the error compounds across
+    rounds. The only float ops left (init division, ``base + d * s``
+    finish, final ``rn / 1e9``) are single IEEE expressions mirrored
+    op-for-op by the SQL twins, hence bit-deterministic on both sides.
+    Returns a (node, r) Dataset, r = rn / 1e9."""
     from geo_ray.kernels import fixed as fixed_k
     from geo_ray.stages.agg import combine_sums, default_num_blocks, hash_bucket_apply
     from geo_ray.stages.join import tagged_inner_join
@@ -225,14 +233,14 @@ def pagerank(edges_ds, nodes_ds, n_nodes: int, iters: int = 3, d: float = 0.85):
         edges_ds, deg, left_key="src", right_key="src", right_cols=["deg"]
     ).materialize()
 
-    r0 = 1.0 / n_nodes
-    base = (1.0 - d) / n_nodes
+    r0n = np.int64(fixed_k.round_half_away(1e9 / n_nodes, 0))
+    base_nano = (1.0 - d) * 1e9 / n_nodes
 
     def init_rank(b: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "node": b["node"].cast(pa.int64()),
-                "r": pa.array(np.full(b.num_rows, r0, dtype=np.float64)),
+                "rn": pa.array(np.full(b.num_rows, r0n, dtype=np.int64)),
             }
         )
 
@@ -241,7 +249,7 @@ def pagerank(edges_ds, nodes_ds, n_nodes: int, iters: int = 3, d: float = 0.85):
         lambda b: pa.table(
             {
                 "node": b["node"],
-                "s_part": pa.array(np.zeros(b.num_rows, dtype=np.float64)),
+                "s_part": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
                 "bucket": pa.array(_mix_bucket(np_col(b, "node"), nb)),
             }
         ),
@@ -250,7 +258,7 @@ def pagerank(edges_ds, nodes_ds, n_nodes: int, iters: int = 3, d: float = 0.85):
 
     def contrib_part(b: pa.Table) -> pa.Table:
         dst = np_col(b, "dst")
-        c = b["r"].to_numpy(zero_copy_only=False) / np_col(b, "deg").astype(np.float64)
+        c = np_col(b, "rn") // np_col(b, "deg")  # exact integer contribution
         order = np.argsort(dst, kind="mergesort")
         dst, c = dst[order], c[order]
         uk, starts = np.unique(dst, return_index=True)
@@ -258,7 +266,7 @@ def pagerank(edges_ds, nodes_ds, n_nodes: int, iters: int = 3, d: float = 0.85):
             {
                 "node": pa.array(uk),
                 "s_part": pa.array(
-                    np.add.reduceat(c, starts) if uk.size else np.array([], np.float64)
+                    np.add.reduceat(c, starts) if uk.size else np.array([], np.int64)
                 ),
                 "bucket": pa.array(_mix_bucket(uk, nb)),
             }
@@ -268,17 +276,19 @@ def pagerank(edges_ds, nodes_ds, n_nodes: int, iters: int = 3, d: float = 0.85):
         # every node of this bucket has at least its zero row, so the
         # combined sums cover all nodes; finish the rank in place
         t = combine_sums(b, "node", "s_part")
-        s = t["s_part"].to_numpy()
+        s = t["s_part"].to_numpy().astype(np.float64)
         return pa.table(
             {
                 "node": t["node"],
-                "r": pa.array(fixed_k.round_half_away(base + d * s, 9)),
+                "rn": pa.array(
+                    fixed_k.round_half_away(base_nano + d * s, 0).astype(np.int64)
+                ),
             }
         )
 
     for _ in range(iters):
         j = tagged_inner_join(
-            edges_deg, ranks, left_key="src", right_key="node", right_cols=["r"]
+            edges_deg, ranks, left_key="src", right_key="node", right_cols=["rn"]
         )
         ranks = hash_bucket_apply(
             node_rows.union(j.map_batches(contrib_part, batch_format="pyarrow")),
@@ -287,4 +297,10 @@ def pagerank(edges_ds, nodes_ds, n_nodes: int, iters: int = 3, d: float = 0.85):
             num_blocks=nb,
             batch_format="pyarrow",
         ).materialize()
-    return ranks
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": b["node"], "r": pa.array(np_col(b, "rn").astype(np.float64) / 1e9)}
+        )
+
+    return ranks.map_batches(finish, batch_format="pyarrow")

@@ -153,7 +153,7 @@ def test_dup_degree_hist_matches_pair_brute(ray_session):
         int(r.degree): int(r.n_vecs)
         for r in Q.q_dup_degree_hist(SF).to_pandas().itertuples()
     }
-    pairs = Q.q_embed_dup_pairs(SF).to_pandas()
+    pairs = Q.q_ivf_dup_pairs(SF).to_pandas()
     deg = Counter()
     for r in pairs.itertuples():
         deg[int(r.vec_a)] += 1

@@ -210,15 +210,15 @@ def test_training_shuffle_deterministic_permutation(ray_session):
 
 def test_dup_pagerank_matches_sequential(ray_session):
     """Distributed iterative PR == single-process numpy iteration with the
-    same per-round 9-dp rounding."""
+    same fixed-point nano-rank arithmetic, over the same IVF-bucketed edge
+    set (integer contribution sums make the answer order-independent)."""
     from geo_ray.kernels import fixed as fixed_k
     from geo_ray.pipelines import queries as Q
-    from geo_ray.stages.ann import CosineNearDup
+    from geo_ray.stages import ann as ann_st
 
     path = f"{SF}/embeddings.parquet"
     t = pq.read_table(path, columns=["vec_id", "embedding"])
-    nd = CosineNearDup(tau=0.25, path=path)
-    pairs = nd(t).to_pandas()
+    pairs = ann_st.neardup_bucket(ann_st.ivf_assign(t), 0.25).to_pandas()
     vid = np.sort(t["vec_id"].to_numpy().astype(np.int64))
     idx = {v: i for i, v in enumerate(vid)}
     n = vid.size
@@ -228,13 +228,15 @@ def test_dup_pagerank_matches_sequential(ray_session):
     di = np.array([idx[v] for v in dst])
     deg = np.zeros(n, dtype=np.int64)
     np.add.at(deg, si, 1)
-    r = np.full(n, 1.0 / n)
-    base = (1.0 - 0.85) / n
+    rn = np.full(n, np.int64(fixed_k.round_half_away(1e9 / n, 0)))
+    base_nano = (1.0 - 0.85) * 1e9 / n
     for _ in range(3):
-        s = np.zeros(n)
-        np.add.at(s, di, r[si] / deg[si])
-        r = fixed_k.round_half_away(base + 0.85 * s, 9)
-    want = pd.DataFrame({"vec_id": vid, "pagerank": r})
+        s = np.zeros(n, dtype=np.int64)
+        np.add.at(s, di, rn[si] // deg[si])
+        rn = fixed_k.round_half_away(base_nano + 0.85 * s.astype(np.float64), 0).astype(
+            np.int64
+        )
+    want = pd.DataFrame({"vec_id": vid, "pagerank": rn.astype(np.float64) / 1e9})
     got = (
         Q.q_dup_pagerank(SF)
         .to_pandas()

@@ -53,18 +53,48 @@ def synth_corpus(n: int, out_dir: str, shards: int = 32):
     ds.write_parquet(out_dir)
 
 
+def shard_layout(path: str, n_chunks: int) -> str:
+    """Hash-sharded hive layout (shard=<c>/ dirs) for the worker-side shard
+    loads — mirrors queries._knn_shard_layout for the synthetic corpus."""
+    import ray.data as rd
+
+    out = f"{path}_shards{n_chunks}"
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+
+    def add_shard(b: pa.Table) -> pa.Table:
+        v = b["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column("shard", pa.array(v % np.int64(n_chunks)))
+
+    rd.read_parquet(path, columns=["vec_id", "embedding"]).map_batches(
+        add_shard, batch_format="pyarrow"
+    ).write_parquet(out, partition_cols=["shard"])
+    return out
+
+
 def knn_graph_over(path: str, k: int, n_chunks: int, probe_blocks: int = 64):
+    import functools
+
     import ray.data as rd
 
     from geo_ray.pipelines.queries import mix32_np
     from geo_ray.stages import ann as ann_st
     from geo_ray.stages.agg import default_num_blocks, hash_bucket_apply
 
+    shards = shard_layout(path, n_chunks)
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"]).repartition(probe_blocks)
     parts = None
     for c in range(n_chunks):
         p = ds.map_batches(
-            ann_st.KnnGraphChunk(c, n_chunks, path, k), batch_format="pyarrow"
+            functools.partial(
+                ann_st.knn_chunk_fn,
+                chunk_id=c,
+                n_chunks=n_chunks,
+                path=shards,
+                k=k,
+                sharded=True,
+            ),
+            batch_format="pyarrow",
         )
         parts = p if parts is None else parts.union(p)
     nb = default_num_blocks()
