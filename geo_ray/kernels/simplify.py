@@ -218,6 +218,57 @@ def simplify_pixels(x, y, pixel_precision: int = 1):
     return mask
 
 
+def simplify_degrees_batch_counts(lat2d, lng2d, max_distance: float) -> np.ndarray:
+    """Kept-vertex COUNTS of :func:`simplify_degrees` over MANY equal-length
+    lines at once — the flat interval-frontier form of the DP (VERDICT r4
+    item 7): every round evaluates the farthest point of ALL active
+    intervals across all lines in one vectorized pass. Each split depends
+    only on its interval endpoints, so frontier order == stack order in the
+    result; the per-element IEEE ops mirror sq_perpendicular_dist exactly
+    (the sq_len < eps branch via ratio = 0, which lands the projection on
+    the segment start just like the scalar branch) and np.argmax keeps the
+    kernel's first-max tie-break. Rounds are bounded by the line length, and
+    each round's temporaries are O(active_intervals x line_length)."""
+    lat2d = np.asarray(lat2d, dtype=np.float64)
+    lng2d = np.asarray(lng2d, dtype=np.float64)
+    n_lines, n_pts = lat2d.shape
+    counts = np.full(n_lines, min(n_pts, 2), dtype=np.int64)
+    if n_pts <= 2 or n_lines == 0:
+        return counts
+    thr = max_distance * max_distance
+    eps = np.finfo(np.float64).eps
+    cols = np.arange(n_pts, dtype=np.int64)
+    li = np.arange(n_lines, dtype=np.int64)
+    lo = np.zeros(n_lines, dtype=np.int64)
+    hi = np.full(n_lines, n_pts - 1, dtype=np.int64)
+    while li.size:
+        slope_x = lng2d[li, hi] - lng2d[li, lo]  # the reference's x/y swap
+        slope_y = lat2d[li, hi] - lat2d[li, lo]
+        rel_x = lng2d[li] - lng2d[li, lo][:, None]
+        rel_y = lat2d[li] - lat2d[li, lo][:, None]
+        unnormed = slope_x[:, None] * rel_x + slope_y[:, None] * rel_y
+        sq_len = slope_x * slope_x + slope_y * slope_y
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.clip(unnormed / sq_len[:, None], 0.0, 1.0)
+        ratio[sq_len < eps] = 0.0
+        proj_x = (1.0 - ratio) * lat2d[li, lo][:, None] + lat2d[li, hi][:, None] * ratio
+        proj_y = (1.0 - ratio) * lng2d[li, lo][:, None] + lng2d[li, hi][:, None] * ratio
+        dx = proj_x - lat2d[li]
+        dy = proj_y - lng2d[li]
+        d = dx * dx + dy * dy
+        d[(cols[None, :] <= lo[:, None]) | (cols[None, :] >= hi[:, None])] = -np.inf
+        far = np.argmax(d, axis=1)
+        split = d[np.arange(li.size), far] >= thr
+        np.add.at(counts, li[split], 1)
+        li2, lo2, hi2, far2 = li[split], lo[split], hi[split], far[split]
+        nli = np.concatenate([li2, li2])
+        nlo = np.concatenate([lo2, far2])
+        nhi = np.concatenate([far2, hi2])
+        live = nhi - nlo > 1
+        li, lo, hi = nli[live], nlo[live], nhi[live]
+    return counts
+
+
 def simplify_degrees(lat, lng, max_distance: float):
     """Degree-space DP (clamped-projection variant of src/polyline.cc:16-20).
 

@@ -515,7 +515,7 @@ def q_knn_cities(sf_dir: str):
     stage = knn_st.KnnAgainstQueries(np.arange(8), qlat, qlng, k=5)
     ds = points_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
     out = ds.groupby("query_id").map_groups(
-        lambda g: knn_st.finish_topk(g, 5), batch_format="pandas"
+        lambda g: knn_st.finish_topk(g, 5), batch_format="pyarrow"
     )
     return out.map_batches(
         lambda b: _round_cols(b, {"dist_m": 3}), batch_format="pyarrow"
@@ -1201,7 +1201,6 @@ def q_curation_pipeline(sf_dir: str):
     import pyarrow.dataset as pads
 
     from geo_ray.stages import text as text_st
-    from geo_ray.stages.agg import coalesce_for_shuffle
 
     rd = _rd()
     bench_ref = _bench_ngram_ref(sf_dir)
@@ -1225,13 +1224,39 @@ def q_curation_pipeline(sf_dir: str):
         zero_copy_batch=True,
     )
 
-    def keep_min(g):
-        return g.sort_values("doc_id", kind="mergesort").head(1)
+    # keep the min-doc_id row per (h1, h2, len) — the key domain is every
+    # distinct document, so a per-group pandas call is one Python call per
+    # doc; this bucket fn instead segments a whole hash partition with ONE
+    # lexsort (doc_id innermost => first row of each run is the winner).
+    from geo_ray.stages.agg import hash_bucket_apply, np_col
 
-    out = coalesce_for_shuffle(passed).groupby(["h1", "h2", "len"]).map_groups(
-        keep_min, batch_format="pandas"
+    nb = agg_default_blocks()
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        # h1 is already a uniform 64-bit hash — bucket on its unsigned view
+        bk = (np_col(b, "h1").view(np.uint64) % np.uint64(nb)).astype(np.int64)
+        return b.append_column("bucket", pa.array(bk))
+
+    def keep_min_bucket(g: pa.Table) -> pa.Table:
+        idx = np.array([], dtype=np.int64)
+        if g.num_rows:
+            h1, h2 = np_col(g, "h1"), np_col(g, "h2")
+            ln, did = np_col(g, "len"), np_col(g, "doc_id")
+            order = np.lexsort((did, ln, h2, h1))
+            h1s, h2s, lns = h1[order], h2[order], ln[order]
+            first = np.concatenate(
+                [[True], (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1]) | (lns[1:] != lns[:-1])]
+            )
+            idx = order[first]
+        return g.select(["doc_id", "lang", "source", "n_tokens"]).take(pa.array(idx))
+
+    return hash_bucket_apply(
+        passed.map_batches(add_bucket, batch_format="pyarrow"),
+        "bucket",
+        keep_min_bucket,
+        num_blocks=nb,
+        batch_format="pyarrow",
     )
-    return out.select_columns(["doc_id", "lang", "source", "n_tokens"])
 
 
 SQL_CURATION_PIPELINE = f"""WITH toks AS (
@@ -1811,7 +1836,7 @@ def q_ann_topk(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ds = ds.map_batches(ann_st.CosineTopK(8, 10), batch_format="pyarrow")
     return ds.groupby("query_id").map_groups(
-        lambda g: ann_st.finish_ann_topk(g, 10), batch_format="pandas"
+        lambda g: ann_st.finish_ann_topk(g, 10), batch_format="pyarrow"
     )
 
 
@@ -4030,7 +4055,7 @@ def q_ivf_topk(sf_dir: str):
     ds = _rd().read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ds = ds.map_batches(ann_st.IvfTopK(8, 10), batch_format="pyarrow")
     return ds.groupby("query_id").map_groups(
-        lambda g: ann_st.finish_ann_topk(g, 10), batch_format="pandas"
+        lambda g: ann_st.finish_ann_topk(g, 10), batch_format="pyarrow"
     )
 
 
@@ -4219,27 +4244,28 @@ def q_revenue_by_priority(sf_dir: str):
         right_cols=["o_orderpriority"],
     )
 
-    def partial(b):
-        import pandas as pd
-
-        price_c = np.rint(b["l_extendedprice"].to_numpy() * 100).astype(np.int64)
-        disc_c = np.rint((1.0 - b["l_discount"].to_numpy()) * 100).astype(np.int64)
+    def partial(b: pa.Table) -> pa.Table:
+        price_c = np.rint(b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        disc_c = np.rint((1.0 - b["l_discount"].to_numpy(zero_copy_only=False)) * 100).astype(np.int64)
         rev = price_c * disc_c  # exact 1e-4 currency units
-        pr = b["o_orderpriority"].to_numpy()
+        pr_col = b["o_orderpriority"]
+        if isinstance(pr_col, pa.ChunkedArray):
+            pr_col = pr_col.combine_chunks()
+        pr = pr_col.to_numpy(zero_copy_only=False)
         codes, idx = np.unique(pr, return_inverse=True)
         def bc(w):
             return np.bincount(idx, weights=w, minlength=codes.size).astype(np.int64)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "o_orderpriority": codes,
-                "rev_q": bc(rev // M),
-                "rev_r": bc(rev % M),
-                "n_items": np.bincount(idx, minlength=codes.size).astype(np.int64),
+                "o_orderpriority": pa.array(codes, pa.string()),
+                "rev_q": pa.array(bc(rev // M)),
+                "rev_r": pa.array(bc(rev % M)),
+                "n_items": pa.array(np.bincount(idx, minlength=codes.size).astype(np.int64)),
             }
         )
 
     sums = (
-        coalesce_for_shuffle(joined.map_batches(partial, batch_format="pandas"))
+        coalesce_for_shuffle(joined.map_batches(partial, batch_format="pyarrow"))
         .groupby("o_orderpriority")
         .aggregate(
             Sum("rev_q", alias_name="rev_q"),
@@ -4602,7 +4628,10 @@ FROM orders GROUP BY o_orderpriority"""
 def q_simplify_lines(sf_dir: str):
     """Douglas-Peucker at a fixed degree tolerance (boost::geometry::simplify
     semantics, src/polyline.cc:16-20) over each doc's 24-vertex walk:
-    (doc_id, n_in, n_out). Rows-only; kernel is pytest-pinned."""
+    (doc_id, n_in, n_out), via the batched interval-frontier DP
+    (:func:`simplify.simplify_degrees_batch_counts` — no per-line Python
+    loop). Oracled by the recursive-CTE DP twin; kernel also pytest-pinned
+    against the per-line stack DP."""
     from geo_ray.kernels import simplify as simp_k
     from geo_ray.stages.tiling import derive_walks
 
@@ -4610,10 +4639,7 @@ def q_simplify_lines(sf_dir: str):
         doc_id = b["doc_id"].to_numpy().astype(np.int64)
         docs = doc_id[doc_id % 4 >= 1]
         lat2d, lng2d = derive_walks(docs)
-        n_out = np.empty(docs.size, dtype=np.int64)
-        for i in range(docs.size):
-            slat, _ = simp_k.simplify_degrees(lat2d[i], lng2d[i], 0.0005)
-            n_out[i] = slat.size
+        n_out = simp_k.simplify_degrees_batch_counts(lat2d, lng2d, 0.0005)
         return pa.table(
             {
                 "doc_id": pa.array(docs),

@@ -57,11 +57,29 @@ class CosineTopK:
         )
 
 
-def finish_ann_topk(group, k: int = 10):
-    g = group.sort_values(["cos_sim", "vec_id"], ascending=[False, True], kind="mergesort")
-    g = g.head(k).copy()
-    g["cos_sim"] = fixed_k.round_half_away(g["cos_sim"].to_numpy(), 6)
-    return g
+def finish_ann_topk(b: pa.Table, k: int = 10) -> pa.Table:
+    """Arrow block finisher (no pandas round trip): segments by query_id
+    with one lexsort, keeps the top-k (cos_sim DESC, vec_id ASC) rows per
+    query, then rounds the survivors' cos_sim to 6 dp."""
+    from geo_ray.stages.agg import np_col
+
+    if b.num_rows == 0:
+        return b
+    q = np_col(b, "query_id")
+    v = np_col(b, "vec_id")
+    c = np_col(b, "cos_sim", dtype=np.float64)
+    order = np.lexsort((v, -c, q))
+    qs = q[order]
+    starts = np.flatnonzero(np.concatenate([[True], qs[1:] != qs[:-1]]))
+    rank = np.arange(qs.size, dtype=np.int64) - np.repeat(
+        starts, np.diff(np.concatenate([starts, [qs.size]]))
+    )
+    t = b.take(pa.array(order[rank < k]))
+    return t.set_column(
+        t.schema.get_field_index("cos_sim"),
+        "cos_sim",
+        pa.array(fixed_k.round_half_away(np_col(t, "cos_sim", dtype=np.float64), 6)),
+    )
 
 
 def ivf_assign(batch: pa.Table, n_centroids: int = 16) -> pa.Table:

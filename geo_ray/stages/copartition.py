@@ -332,5 +332,5 @@ def knn_copartition(points_ds, query_ids, qlat, qlng, k: int = 5, radius_m: floa
     from geo_ray.stages import knn as knn_st
 
     return partial.groupby("query_id").map_groups(
-        lambda g: knn_st.finish_topk(g, k), batch_format="pandas"
+        lambda g: knn_st.finish_topk(g, k), batch_format="pyarrow"
     )

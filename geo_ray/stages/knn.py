@@ -94,9 +94,22 @@ class RadiusAgainstQueries:
         return out.append_column("dist_m", pa.array(d[qi, pi]))
 
 
-def finish_topk(group, k: int = 5):
-    """map_groups finisher: per query, keep k smallest (dist, doc_id, pt_idx)."""
-    import pandas as pd  # noqa: F401
+def finish_topk(b, k: int = 5):
+    """Arrow block finisher (no pandas round trip): segments its partition
+    by query_id with ONE lexsort and keeps the k smallest
+    (dist_m, doc_id, pt_idx) rows per query; any extra columns ride along."""
+    import pyarrow as pa
 
-    g = group.sort_values(["dist_m", "doc_id", "pt_idx"], kind="mergesort")
-    return g.head(k)
+    from geo_ray.stages.agg import np_col
+
+    if b.num_rows == 0:
+        return b
+    q = np_col(b, "query_id")
+    d = np_col(b, "dist_m", dtype=np.float64)
+    order = np.lexsort((np_col(b, "pt_idx"), np_col(b, "doc_id"), d, q))
+    qs = q[order]
+    starts = np.flatnonzero(np.concatenate([[True], qs[1:] != qs[:-1]]))
+    rank = np.arange(qs.size, dtype=np.int64) - np.repeat(
+        starts, np.diff(np.concatenate([starts, [qs.size]]))
+    )
+    return b.take(pa.array(order[rank < k]))

@@ -119,58 +119,76 @@ def add_assembly_bucket(batch: pa.Table, n_buckets: int = 64, hot_keys=None, n_s
     return batch.append_column("bucket", pa.array(bucket))
 
 
-def assemble_bucket(group):
-    """map_groups over coarse buckets: one output row per tile —
-    (tile_key, tile_x, tile_y, n_lines, payload) where payload concatenates
-    the tile's encoded lines sorted by doc_id (deterministic)."""
-    import pandas as pd
+def assemble_bucket(group: pa.Table) -> pa.Table:
+    """Bucketed stage fn over coarse buckets (Arrow blocks — no pandas
+    round trip): one output row per tile — (tile_key, tile_x, tile_y,
+    n_lines, payload) where payload concatenates the tile's encoded lines
+    sorted deterministically."""
+    from geo_ray.stages.agg import np_col
 
-    key = group["tile_key"].to_numpy()
+    key = np_col(group, "tile_key") if group.num_rows else np.array([], np.int64)
     if key.size == 0:
-        return pd.DataFrame(
-            {"tile_key": [], "tile_x": [], "tile_y": [], "n_lines": [], "payload": []}
+        return pa.table(
+            {
+                "tile_key": pa.array([], pa.int64()),
+                "tile_x": pa.array([], pa.int64()),
+                "tile_y": pa.array([], pa.int64()),
+                "n_lines": pa.array([], pa.int64()),
+                "payload": pa.array([], pa.string()),
+            }
         )
-    enc = group["enc"].to_numpy()
+    enc_col = group["enc"]
+    if isinstance(enc_col, pa.ChunkedArray):
+        enc_col = enc_col.combine_chunks()
+    enc = enc_col.to_numpy(zero_copy_only=False)
     order = np.lexsort((enc, key))  # deterministic per-tile line order,
     key = key[order]                # mergeable across salted partials
     enc = enc[order]
-    tx = group["tile_x"].to_numpy()[order]
-    ty = group["tile_y"].to_numpy()[order]
+    tx = np_col(group, "tile_x")[order]
+    ty = np_col(group, "tile_y")[order]
     starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
     ends = np.concatenate([starts[1:], [key.size]])
     payloads = ["\n".join(enc[s:e]) for s, e in zip(starts, ends)]
-    return pd.DataFrame(
+    return pa.table(
         {
-            "tile_key": key[starts],
-            "tile_x": tx[starts],
-            "tile_y": ty[starts],
-            "n_lines": (ends - starts).astype(np.int64),
-            "payload": payloads,
+            "tile_key": pa.array(key[starts]),
+            "tile_x": pa.array(tx[starts]),
+            "tile_y": pa.array(ty[starts]),
+            "n_lines": pa.array((ends - starts).astype(np.int64)),
+            "payload": pa.array(payloads, pa.string()),
         }
     )
 
 
-def merge_salted(group):
-    """Second-pass merge of per-salt partial tiles (same output schema)."""
-    import pandas as pd
+def merge_salted(group: pa.Table) -> pa.Table:
+    """Second-pass merge of per-salt partial tiles (same output schema);
+    Arrow block fn — segments its hash partition by tile_key internally."""
+    from geo_ray.stages.agg import np_col
 
-    g = group.sort_values("tile_key", kind="mergesort")
-    key = g["tile_key"].to_numpy()
+    key = np_col(group, "tile_key") if group.num_rows else np.array([], np.int64)
+    order = np.argsort(key, kind="mergesort")
+    key = key[order]
     starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
     ends = np.concatenate([starts, [key.size]])[1:] if starts.size else np.array([], dtype=np.int64)
-    pay = g["payload"].to_numpy()
+    pay_col = group["payload"]
+    if isinstance(pay_col, pa.ChunkedArray):
+        pay_col = pay_col.combine_chunks()
+    pay = pay_col.to_numpy(zero_copy_only=False)[order]
     # re-sort merged lines so the payload equals the unsalted assembly's
     merged = [
         "\n".join(sorted(line for p in pay[s:e] for line in p.split("\n")))
         for s, e in zip(starts, ends)
     ]
-    return pd.DataFrame(
+    nl = np_col(group, "n_lines")[order] if key.size else np.array([], np.int64)
+    return pa.table(
         {
-            "tile_key": key[starts],
-            "tile_x": g["tile_x"].to_numpy()[starts],
-            "tile_y": g["tile_y"].to_numpy()[starts],
-            "n_lines": np.add.reduceat(g["n_lines"].to_numpy(), starts),
-            "payload": merged,
+            "tile_key": pa.array(key[starts]),
+            "tile_x": pa.array(np_col(group, "tile_x")[order][starts] if key.size else np.array([], np.int64)),
+            "tile_y": pa.array(np_col(group, "tile_y")[order][starts] if key.size else np.array([], np.int64)),
+            "n_lines": pa.array(
+                np.add.reduceat(nl, starts) if starts.size else np.array([], np.int64)
+            ),
+            "payload": pa.array(merged, pa.string()),
         }
     )
 
@@ -206,7 +224,7 @@ def tile_pipeline(sf_dir: str, zoom: int = 10, salt_threshold: int | None = None
     )
     from geo_ray.stages.agg import hash_bucket_apply
 
-    tiles = hash_bucket_apply(rows, "bucket", assemble_bucket)
+    tiles = hash_bucket_apply(rows, "bucket", assemble_bucket, batch_format="pyarrow")
     if salt_threshold is not None:
         # merge per-salt partials: group by tile_key % 64 again (few rows now)
         def rebucket(b: pa.Table) -> pa.Table:
@@ -215,5 +233,5 @@ def tile_pipeline(sf_dir: str, zoom: int = 10, salt_threshold: int | None = None
             )
 
         tiles = tiles.map_batches(rebucket, batch_format="pyarrow")
-        tiles = tiles.groupby("bucket2").map_groups(merge_salted, batch_format="pandas")
+        tiles = hash_bucket_apply(tiles, "bucket2", merge_salted, batch_format="pyarrow")
     return tiles

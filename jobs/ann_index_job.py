@@ -133,7 +133,7 @@ def query_index(out_dir: str, n_queries: int = 8, k: int = 10, nprobe: int = 4):
 
     scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     return scored.groupby("query_id").map_groups(
-        lambda g: ann.finish_ann_topk(g, k), batch_format="pandas"
+        lambda g: ann.finish_ann_topk(g, k), batch_format="pyarrow"
     )
 
 

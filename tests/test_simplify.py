@@ -142,3 +142,37 @@ def test_scalar_and_vector_dp_paths_identical(monkeypatch):
         sca = S.make_simplify_mask(lat, lng)
         for a, b in zip(vec, sca):
             assert (a == b).all()
+
+
+def test_batch_counts_match_per_line_dp():
+    """The batched interval-frontier DP == the per-line stack DP, including
+    duplicate-point (sq_len < eps) segments, exact-tie farthest points and
+    lines that simplify to their endpoints."""
+    rng = np.random.default_rng(7)
+    n_lines, n_pts = 64, 24
+    lat = np.cumsum(rng.normal(0, 0.002, (n_lines, n_pts)), axis=1)
+    lng = np.cumsum(rng.normal(0, 0.002, (n_lines, n_pts)), axis=1)
+    lat[0] = 0.0  # fully degenerate line (every segment sq_len < eps)
+    lng[0] = 0.0
+    lat[1, :] = np.linspace(0.0, 1.0, n_pts)  # collinear -> endpoints only
+    lng[1, :] = 0.0
+    lat[2, 5:9] = lat[2, 5]  # run of duplicate interior points
+    lng[2, 5:9] = lng[2, 5]
+    lat[3] = np.tile([0.0, 0.01], n_pts // 2)  # exact-tie farthest candidates
+    lng[3] = np.arange(n_pts) * 0.001
+    for tol in (1e-9, 0.0005, 0.005, 1.0):
+        got = S.simplify_degrees_batch_counts(lat, lng, tol)
+        want = np.array(
+            [S.simplify_degrees(lat[i], lng[i], tol)[0].size for i in range(n_lines)],
+            dtype=np.int64,
+        )
+        assert got.tolist() == want.tolist(), tol
+
+
+def test_batch_counts_short_lines():
+    assert S.simplify_degrees_batch_counts(
+        np.zeros((3, 2)), np.zeros((3, 2)), 0.1
+    ).tolist() == [2, 2, 2]
+    assert S.simplify_degrees_batch_counts(
+        np.zeros((0, 24)), np.zeros((0, 24)), 0.1
+    ).tolist() == []
