@@ -240,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_revenue": Q.SQL_SEGMENT_REVENUE,
         "segment_intersections": Q.SQL_SEGMENT_INTERSECTIONS,
         "simplify_lines": Q.SQL_SIMPLIFY_LINES,
+        "simplify_masks": Q.SQL_SIMPLIFY_MASKS,
         "knn_graph": Q.SQL_KNN_GRAPH,
         "sequence_packing": Q.SQL_SEQUENCE_PACKING,
         "winsorized_stats": Q.SQL_WINSORIZED_STATS,

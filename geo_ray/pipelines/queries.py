@@ -4721,6 +4721,84 @@ LEFT JOIN (SELECT doc_id, COUNT(*) AS k FROM splits GROUP BY doc_id) s USING (do
 SQL_SIMPLIFY_LINES = _simplify_lines_sql()
 
 
+def _simplify_masks_sql() -> str:
+    """Recursive-CTE twin of q_simplify_masks (VERDICT r4 item 6) — the
+    21-level cumulative mask DP (simplify_mask.h:112-158) COLLAPSES to one
+    recursion: an interval's farthest point and its floored squared pixel
+    distance ddf are level-independent, and the level thresholds
+    4^(20-z) only gate WHEN the split fires — so a split's first-kept level
+    is zl = max(parent zl, z*) with z* the smallest z whose threshold ddf
+    meets (z* = 21 - #{k in 0..20 : ddf >= 4^k}). From the zl-annotated
+    split set: n_kept_z = 2 + #{splits with zl <= z}, and the serialized
+    size (simplify_mask.h:179-218, forward-dedup of identical masks) is
+    8 header bytes + 3 bytes per stored level (24-bit masks pack to exactly
+    3 bytes), with stored levels = level 20 plus every level z in 1..20
+    where some split has zl == z. Distances floor BEFORE the argmax
+    (process_level's integer-pixel semantics), so the LATERAL orders by
+    (FLOOR(dd) DESC, i ASC); pixel coords reuse the pinned mercator twins
+    at z20/tile_size 4096."""
+    eps = float(np.finfo(np.float64).eps)
+    best = """LATERAL (
+    SELECT w.i AS far,
+           (e2.py - e1.py) AS slope_x,
+           (e2.px - e1.px) AS slope_y,
+           (w.py - e1.py) AS rel_x,
+           (w.px - e1.px) AS rel_y,
+           (slope_x * rel_x + slope_y * rel_y) AS unnormed,
+           (slope_x * slope_x + slope_y * slope_y) AS sq_len,
+           (CASE WHEN sq_len < {eps} THEN CAST(0.0 AS DOUBLE)
+                 ELSE LEAST(GREATEST(unnormed / sq_len, CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) END) AS ratio,
+           ((CAST(1.0 AS DOUBLE) - ratio) * e1.px + e2.px * ratio) AS proj_x,
+           ((CAST(1.0 AS DOUBLE) - ratio) * e1.py + e2.py * ratio) AS proj_y,
+           FLOOR((proj_x - w.px) * (proj_x - w.px) + (proj_y - w.py) * (proj_y - w.py)) AS ddf,
+           (21 - len([k FOR k IN range(21) IF ddf >= POWER(CAST(4.0 AS DOUBLE), k)])) AS zs
+    FROM walkpx w, walkpx e1, walkpx e2
+    WHERE w.d = c.doc_id AND w.i > c.lo AND w.i < c.hi
+      AND e1.d = c.doc_id AND e1.i = c.lo
+      AND e2.d = c.doc_id AND e2.i = c.hi
+    ORDER BY ddf DESC, w.i ASC
+    LIMIT 1
+  ) b""".replace("{eps}", repr(eps))
+    px = sql_pixel_x("lng", 20, 4096)
+    py = sql_pixel_y("lat", 20, 4096)
+    points = POINTS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
+    return f"""{points}, base AS (
+  SELECT doc_id AS d, lat AS lat0, lng AS lng0 FROM points WHERE pt_idx = 1
+), walkdeg AS (
+  SELECT d, s.step AS i,
+         LEAST(GREATEST(lat0 + 0.001 * SIN(s.step * (d % 7 + 1)), -85.0), 85.0) AS lat,
+         lng0 + 0.001 * COS(s.step * (d % 5 + 1)) AS lng
+  FROM base, (SELECT unnest(range(24)) AS step) s
+), walkpx AS (
+  SELECT d, i, CAST({px} AS DOUBLE) AS px, CAST({py} AS DOUBLE) AS py FROM walkdeg
+), splits(doc_id, lo, hi, far, zl) AS (
+  SELECT c.doc_id, c.lo, c.hi, b.far, b.zs
+  FROM (SELECT d AS doc_id, CAST(0 AS BIGINT) AS lo, CAST(23 AS BIGINT) AS hi FROM base) c, {best}
+  WHERE b.zs <= 20
+  UNION ALL
+  SELECT c.doc_id, c.lo, c.hi, b.far, GREATEST(c.pzl, b.zs)
+  FROM (
+    SELECT sp.doc_id,
+           CASE WHEN u.k = 0 THEN sp.lo ELSE sp.far END AS lo,
+           CASE WHEN u.k = 0 THEN sp.far ELSE sp.hi END AS hi,
+           sp.zl AS pzl
+    FROM splits sp, (SELECT unnest([0, 1]) AS k) u
+  ) c, {best}
+  WHERE c.hi - c.lo > 1 AND b.zs <= 20
+)
+SELECT d.doc_id, CAST(24 AS BIGINT) AS n_vertices,
+       CAST(2 + COALESCE(z0.k, 0) AS BIGINT) AS n_kept_z0,
+       CAST(2 + COALESCE(z10.k, 0) AS BIGINT) AS n_kept_z10,
+       CAST(8 + 3 * (1 + COALESCE(lv.k, 0)) AS BIGINT) AS mask_bytes
+FROM (SELECT d AS doc_id FROM base) d
+LEFT JOIN (SELECT doc_id, COUNT(*) AS k FROM splits WHERE zl <= 0 GROUP BY doc_id) z0 USING (doc_id)
+LEFT JOIN (SELECT doc_id, COUNT(*) AS k FROM splits WHERE zl <= 10 GROUP BY doc_id) z10 USING (doc_id)
+LEFT JOIN (SELECT doc_id, COUNT(DISTINCT zl) AS k FROM splits WHERE zl BETWEEN 1 AND 20 GROUP BY doc_id) lv USING (doc_id)"""
+
+
+SQL_SIMPLIFY_MASKS = _simplify_masks_sql()
+
+
 _INDEXED_POLYGONS = None
 
 
