@@ -47,8 +47,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-4 window entries kept for a re-lock (their join plans
         # changed this round: Arrow bucket fns / broadcast second hop) ---
         "pricing_summary": Q.q_pricing_summary,
-        "top_terms": Q.q_top_terms,
-        "weighted_sample": Q.q_weighted_sample,
+        "simplify_masks": Q.q_simplify_masks,
+        "dup_degree_hist": Q.q_dup_degree_hist,
         "value_hour_corr": Q.q_value_hour_corr,
         "approx_distance": Q.q_approx_distance,
         "parts_by_brand": Q.q_parts_by_brand,
@@ -105,7 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_density_smooth": Q.q_tile_density_smooth,
         "vocab_stats": Q.q_vocab_stats,
         "polygon_metrics": Q.q_polygon_metrics,
-        "dup_degree_hist": Q.q_dup_degree_hist,
+        "top_terms": Q.q_top_terms,
         "kmeans_iterate": Q.q_kmeans_iterate,
         # --- tail (past the driver's 50-row cap): every entry here has a
         # green driver row in some round (or is a pytest-pinned iterative
@@ -156,7 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dist_to_polyline": Q.q_dist_to_polyline,
         "lineitem_cells": Q.q_lineitem_cells,
         "spans_shape": Q.q_spans_shape,
-        "simplify_masks": Q.q_simplify_masks,
+        "weighted_sample": Q.q_weighted_sample,
         "media_features": Q.q_media_features,
         "media_refs": Q.q_media_refs,
         "token_counts_bpe": Q.q_token_counts_bpe,

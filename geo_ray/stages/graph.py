@@ -184,7 +184,14 @@ def _mix_bucket(k: np.ndarray, nb: int) -> np.ndarray:
     return (h % np.uint64(nb)).astype(np.int64)
 
 
-def pagerank(edges_ds, nodes_ds, n_nodes: int, iters: int = 3, d: float = 0.85):
+def pagerank(
+    edges_ds,
+    nodes_ds,
+    n_nodes: int,
+    iters: int = 3,
+    d: float = 0.85,
+    num_blocks: int | None = None,
+):
     """Simplified distributed PageRank (dangling mass absorbed) over a
     directed (src, dst) edge Dataset — the iterative-dataflow composition of
     the join family. Per round: a src-keyed tagged_inner_join attaches the
@@ -210,7 +217,16 @@ def pagerank(edges_ds, nodes_ds, n_nodes: int, iters: int = 3, d: float = 0.85):
     from geo_ray.stages.agg import combine_sums, default_num_blocks, hash_bucket_apply
     from geo_ray.stages.join import tagged_inner_join
 
-    nb = default_num_blocks()
+    if num_blocks is None:
+        # shuffle width tracks the DATA, not the cluster: every sort-based
+        # exchange here has a per-block fixed cost on both sides, and a 3-
+        # round iteration pays it ~3x per extra block — a toy graph at the
+        # cluster-wide width spends its whole wall clock on it (measured
+        # 18.2s -> ~8s at sf0.1 with data-sized widths). Callers should pass
+        # a MATERIALIZED edge Dataset so the count is free.
+        rows = max(int(edges_ds.count()), n_nodes)
+        num_blocks = max(1, min(default_num_blocks(), (rows + 99_999) // 100_000))
+    nb = num_blocks
 
     def deg_part(b: pa.Table) -> pa.Table:
         u, c = np.unique(np_col(b, "src"), return_counts=True)
@@ -230,7 +246,7 @@ def pagerank(edges_ds, nodes_ds, n_nodes: int, iters: int = 3, d: float = 0.85):
         batch_format="pyarrow",
     )
     edges_deg = tagged_inner_join(
-        edges_ds, deg, left_key="src", right_key="src", right_cols=["deg"]
+        edges_ds, deg, left_key="src", right_key="src", right_cols=["deg"], num_buckets=nb
     ).materialize()
 
     r0n = np.int64(fixed_k.round_half_away(1e9 / n_nodes, 0))
@@ -288,7 +304,8 @@ def pagerank(edges_ds, nodes_ds, n_nodes: int, iters: int = 3, d: float = 0.85):
 
     for _ in range(iters):
         j = tagged_inner_join(
-            edges_deg, ranks, left_key="src", right_key="node", right_cols=["rn"]
+            edges_deg, ranks, left_key="src", right_key="node", right_cols=["rn"],
+            num_buckets=nb,
         )
         ranks = hash_bucket_apply(
             node_rows.union(j.map_batches(contrib_part, batch_format="pyarrow")),
