@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_packing": Q.q_sequence_packing,
         "winsorized_stats": Q.q_winsorized_stats,
         "customer_order_profile": Q.q_customer_order_profile,
+        "user_day_coverage": Q.q_user_day_coverage,
+        "event_countmin": Q.q_event_countmin,
         "training_shuffle": Q.q_training_shuffle,
         "dup_pagerank": Q.q_dup_pagerank,
         # newly SQL-oracled in round 4 (was rows-only since r1) — needs its
@@ -245,6 +247,8 @@ def oracle_sql() -> dict[str, str]:
         "sequence_packing": Q.SQL_SEQUENCE_PACKING,
         "winsorized_stats": Q.SQL_WINSORIZED_STATS,
         "customer_order_profile": Q.SQL_CUSTOMER_ORDER_PROFILE,
+        "user_day_coverage": Q.SQL_USER_DAY_COVERAGE,
+        "event_countmin": Q.SQL_EVENT_COUNTMIN,
         "training_shuffle": Q.SQL_TRAINING_SHUFFLE,
         "dup_pagerank": Q.SQL_DUP_PAGERANK,
         "contamination_flags": Q.SQL_CONTAMINATION_FLAGS,

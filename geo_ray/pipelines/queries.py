@@ -2575,6 +2575,64 @@ SQL_CUSTOMERS_BLOOM_PREFILTER = _sql_bloom()
 _HLL_M = 64  # registers (b = 6)
 
 
+_CM_D, _CM_W = 4, 512
+
+
+def q_event_countmin(sf_dir: str):
+    """COUNT-MIN SKETCH of per-user event frequencies: a d x w counter
+    matrix (d=4 hash rows from independently-seeded lowbias32 mixes,
+    w=512 slots) whose cells are plain SUMS — the sketch state is
+    merge-by-add, fully order-independent, so the distributed counters are
+    deterministic and exactly SQL-reproducible (counter-level oracle, like
+    the HLL register oracle). Per-batch partials collapse each block to at
+    most d*w rows before the one bounded-domain shuffle; a point estimate
+    min_j C[j][h_j(u)] NEVER under-counts (pytest-pinned) and over-counts
+    by at most the collision mass in its lightest row. Output: one row per
+    nonzero (row_id, slot) cell."""
+    from ray.data.aggregate import Sum
+
+    from geo_ray.stages.agg import coalesce_for_shuffle
+
+    def partial(b: pa.Table) -> pa.Table:
+        uid = b["user_id"].to_numpy().astype(np.int64)
+        packed = np.concatenate(
+            [
+                np.int64(j * _CM_W) + mix32_np(uid, seed=j) % np.int64(_CM_W)
+                for j in range(1, _CM_D + 1)
+            ]
+        )
+        u, c = np.unique(packed, return_counts=True)
+        return pa.table({"cell": pa.array(u), "n_partial": pa.array(c.astype(np.int64))})
+
+    ds = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    cells = (
+        coalesce_for_shuffle(
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True), 8
+        )
+        .groupby("cell")
+        .aggregate(Sum("n_partial", alias_name="n"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        k = b["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "row_id": pa.array(k // np.int64(_CM_W)),
+                "slot": pa.array(k % np.int64(_CM_W)),
+                "n": b["n"],
+            }
+        )
+
+    return cells.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_EVENT_COUNTMIN = "\nUNION ALL\n".join(
+    f"""SELECT CAST({j} AS BIGINT) AS row_id, {mix32_sql('user_id', seed=j)} % {_CM_W} AS slot,
+  COUNT(*) AS n FROM events GROUP BY 2"""
+    for j in range(1, _CM_D + 1)
+)
+
+
 def q_user_distinct_hll(sf_dir: str):
     """HyperLogLog register state for distinct-users-per-event-type: hash
     each user (Knuth multiplicative, 32-bit), split into (register, rank of
@@ -4494,6 +4552,115 @@ SQL_CUSTOMER_ORDER_PROFILE = """SELECT c.c_custkey, c.c_mktsegment,
   ROUND(CAST(COALESCE(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)), 0) AS DOUBLE) / 100.0, 2) AS total_spent
 FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 GROUP BY c.c_custkey, c.c_mktsegment"""
+
+
+def q_user_day_coverage(sf_dir: str):
+    """Per-(user, day) purchase-vs-error coverage — the FULL OUTER member of
+    the shuffle-join family (stages/join.tagged_full_join): both sides
+    pre-aggregate per block to one row per (user, epoch-day) key, the full
+    join co-partitions ONCE, and days where a user only purchased or only
+    errored survive from either side with typed zero fills (the rows both a
+    left and a right join would drop one direction of). Exact integer
+    cents; keys pack as user_id * 100000 + epoch_day so the exchange
+    carries a single int64."""
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    from geo_ray.stages.agg import coalesce_for_shuffle
+    from geo_ray.stages.join import tagged_full_join
+
+    rd = _rd()
+    DAY_US = 86_400_000_000
+
+    def pack_keys(b: pa.Table) -> np.ndarray:
+        uid = b["user_id"].to_numpy().astype(np.int64)
+        tsus = b["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").view(np.int64)
+        return uid * np.int64(100_000) + tsus // np.int64(DAY_US)
+
+    def purchase_partial(b: pa.Table) -> pa.Table:
+        k = pack_keys(b)
+        cents = fixed_k.round_half_away(
+            b["value"].to_numpy(zero_copy_only=False) * 100.0, 0
+        ).astype(np.int64)
+        order = np.argsort(k, kind="mergesort")
+        k, cents = k[order], cents[order]
+        uk, starts = np.unique(k, return_index=True)
+        return pa.table(
+            {
+                "k": pa.array(uk),
+                "n_part": pa.array(np.diff(np.concatenate([starts, [k.size]])).astype(np.int64)),
+                "cents_part": pa.array(
+                    np.add.reduceat(cents, starts) if uk.size else np.array([], np.int64)
+                ),
+            }
+        )
+
+    def error_partial(b: pa.Table) -> pa.Table:
+        uk, c = np.unique(pack_keys(b), return_counts=True)
+        return pa.table({"k": pa.array(uk), "n_part": pa.array(c.astype(np.int64))})
+
+    purchases = (
+        coalesce_for_shuffle(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["user_id", "ts", "value"],
+                filter=pads.field("event_type") == "purchase",
+            ).map_batches(purchase_partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("k")
+        .aggregate(Sum("n_part", alias_name="n_purchases"), Sum("cents_part", alias_name="purchase_cents"))
+    )
+    errors = (
+        coalesce_for_shuffle(
+            rd.read_parquet(
+                f"{sf_dir}/events.parquet",
+                columns=["user_id", "ts"],
+                filter=pads.field("event_type") == "error",
+            ).map_batches(error_partial, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        .groupby("k")
+        .aggregate(Sum("n_part", alias_name="n_errors"))
+    )
+    j = tagged_full_join(
+        purchases,
+        errors,
+        left_key="k",
+        right_key="k",
+        right_cols=["n_errors"],
+        right_fill={"n_errors": 0},
+        left_fill={"n_purchases": 0, "purchase_cents": 0},
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(k // np.int64(100_000)),
+                "epoch_day": pa.array(k % np.int64(100_000)),
+                "n_purchases": b["n_purchases"],
+                "purchase_cents": b["purchase_cents"],
+                "n_errors": b["n_errors"],
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_USER_DAY_COVERAGE = """WITH p AS (
+  SELECT user_id * 100000 + epoch_us(ts) // 86400000000 AS k,
+         COUNT(*) AS n_purchases,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS purchase_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), e AS (
+  SELECT user_id * 100000 + epoch_us(ts) // 86400000000 AS k, COUNT(*) AS n_errors
+  FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT COALESCE(p.k, e.k) // 100000 AS user_id,
+       COALESCE(p.k, e.k) % 100000 AS epoch_day,
+       CAST(COALESCE(p.n_purchases, 0) AS BIGINT) AS n_purchases,
+       CAST(COALESCE(p.purchase_cents, 0) AS BIGINT) AS purchase_cents,
+       CAST(COALESCE(e.n_errors, 0) AS BIGINT) AS n_errors
+FROM p FULL OUTER JOIN e ON p.k = e.k"""
 
 
 # ---------------------------------------------------------------------------

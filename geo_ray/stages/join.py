@@ -234,6 +234,42 @@ def tagged_left_join(
     )
 
 
+def tagged_full_join(
+    left_ds,
+    right_ds,
+    left_key: str,
+    right_key: str,
+    right_cols: list[str],
+    right_fill: dict,
+    left_fill: dict,
+    num_buckets: int = 64,
+):
+    """FULL OUTER equi-join through the same single key co-partition:
+    matched keys expand to their exact multiplicity, unmatched LEFT rows
+    emit once with ``right_fill[col]`` in every right column, unmatched
+    RIGHT rows emit once with ``left_fill[col]`` in every left carry column
+    — all fills typed, so dtypes never promote through the shuffle.
+    Salting is deliberately unsupported here: replicated hot right rows
+    would emit their orphan row once per sub-bucket; full-outer inputs in
+    this engine are per-key pre-aggregates (one row per key per side), so
+    no key can concentrate a bucket in the first place."""
+    if set(right_fill) != set(right_cols):
+        raise ValueError("right_fill must provide a value for every right column")
+    lcarry = [c for c in left_ds.schema().names if c != left_key]
+    if set(left_fill) != set(lcarry):
+        raise ValueError("left_fill must provide a value for every left carry column")
+    return tagged_inner_join(
+        left_ds,
+        right_ds,
+        left_key,
+        right_key,
+        right_cols,
+        num_buckets=num_buckets,
+        _left_fill=right_fill,
+        _right_fill=left_fill,
+    )
+
+
 def tagged_inner_join(
     left_ds,
     right_ds,
@@ -244,6 +280,7 @@ def tagged_inner_join(
     hot_keys=None,
     n_salt: int = 8,
     _left_fill: dict | None = None,
+    _right_fill: dict | None = None,
 ):
     """Large x large INNER equi-join through ONE key co-partition — the
     scale-safe sibling of :class:`BroadcastHashJoin` for fact x fact joins
@@ -338,7 +375,22 @@ def tagged_inner_join(
         def empty() -> pa.Table:
             return g.slice(0, 0).select(["_k"] + lcarry + right_cols).rename_columns(out_names)
 
-        if lidx.size == 0 or (ridx.size == 0 and _left_fill is None):
+        def right_orphans(rt: np.ndarray) -> pa.Table:
+            # unmatched right rows (full-outer only): right payload rides,
+            # every left carry column gets its typed fill
+            t_idx = pa.array(rt)
+            cols = {left_key: pc.take(g["_k"], t_idx)}
+            for c in lcarry:
+                cols[c] = pa.nulls(rt.size, ltypes[c]).fill_null(_right_fill[c])
+            for c in right_cols:
+                cols[c] = pc.take(g[c], t_idx)
+            return pa.table(cols)
+
+        if lidx.size == 0:
+            if _right_fill is not None and ridx.size:
+                return right_orphans(ridx)
+            return empty()
+        if ridx.size == 0 and _left_fill is None:
             return empty()
         k_all = np_col(g, "_k")
         lk = k_all[lidx]
@@ -353,7 +405,7 @@ def tagged_inner_join(
             lo = np.zeros(lk.size, dtype=np.int64)
             cnt = lo
         total = int(cnt.sum())
-        if total == 0 and _left_fill is None:
+        if total == 0 and _left_fill is None and _right_fill is None:
             return empty()
         li = np.repeat(np.arange(lk.size, dtype=np.int64), cnt)
         offs = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(cnt) - cnt, cnt)
@@ -373,7 +425,12 @@ def tagged_inner_join(
                 chunks = arr.chunks if isinstance(arr, pa.ChunkedArray) else [arr]
                 arr = pa.chunked_array(list(chunks) + [fillc])
             cols[c] = arr
-        return pa.table(cols)
+        out = pa.table(cols)
+        if _right_fill is not None and ridx.size:
+            orph = ridx[~np.isin(k_all[ridx], lk)]
+            if orph.size:
+                out = pa.concat_tables([out, right_orphans(orph)])
+        return out
 
     from geo_ray.stages.agg import hash_bucket_apply, np_col
 

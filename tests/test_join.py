@@ -296,3 +296,47 @@ def test_tagged_left_join_matches_pandas_left_merge(ray_session):
     want["val"] = want["val"].fillna(-1).astype(np.int64)
     want = want.sort_values(["k", "payload", "val"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["k", "payload", "val"]], want, check_dtype=True)
+
+
+def test_tagged_full_join_matches_pandas_outer_merge(ray_session):
+    """Matched keys expand to full multiplicity; unmatched LEFT rows carry
+    the right fill; unmatched RIGHT rows carry the left fill — equal to
+    pandas' outer merge with both-side orphans present by construction."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geo_ray.stages.join import tagged_full_join
+
+    rng = np.random.RandomState(11)
+    left = pd.DataFrame(
+        {"k": rng.randint(0, 40, 200), "payload": np.arange(200, dtype=np.int64)}
+    )
+    right = pd.DataFrame(
+        {"rk": rng.randint(20, 60, 120), "val": rng.randint(0, 1000, 120).astype(np.int64)}
+    )
+    got = (
+        tagged_full_join(
+            rd.from_arrow(pa.Table.from_pandas(left)).repartition(5),
+            rd.from_arrow(pa.Table.from_pandas(right)).repartition(4),
+            left_key="k",
+            right_key="rk",
+            right_cols=["val"],
+            right_fill={"val": -1},
+            left_fill={"payload": -7},
+            num_buckets=8,
+        )
+        .to_pandas()
+        .sort_values(["k", "payload", "val"])
+        .reset_index(drop=True)
+    )
+    want = left.merge(right, left_on="k", right_on="rk", how="outer")
+    want["k"] = want["k"].fillna(want["rk"]).astype(np.int64)
+    want = want.drop(columns=["rk"])
+    want["val"] = want["val"].fillna(-1).astype(np.int64)
+    want["payload"] = want["payload"].fillna(-7).astype(np.int64)
+    want = want.sort_values(["k", "payload", "val"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "payload", "val"]], want, check_dtype=True)
+    # both orphan directions genuinely present
+    assert (got["payload"] == -7).any() and (got["val"] == -1).any()

@@ -244,3 +244,28 @@ def test_dup_pagerank_matches_sequential(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_countmin_point_estimates_never_undercount(ray_session):
+    """CM property: min over rows of C[j][h_j(u)] >= u's true count for
+    every user, with equality when no collision lands in some row."""
+    from geo_ray.pipelines import queries as Q
+
+    got = Q.q_event_countmin(SF).to_pandas()
+    counters = {}
+    for r in got.itertuples():
+        counters[(int(r.row_id), int(r.slot))] = int(r.n)
+    uid = pq.read_table(f"{SF}/events.parquet", columns=["user_id"])["user_id"].to_numpy()
+    uid = uid.astype(np.int64)
+    true = {int(u): int(c) for u, c in zip(*np.unique(uid, return_counts=True))}
+    n_exact = 0
+    for u, tc in true.items():
+        est = min(
+            counters.get(
+                (j, int(Q.mix32_np(np.array([u]), seed=j)[0] % Q._CM_W)), 0
+            )
+            for j in range(1, Q._CM_D + 1)
+        )
+        assert est >= tc, (u, est, tc)
+        n_exact += est == tc
+    assert n_exact > 0  # at this load factor some users must be collision-free
