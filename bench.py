@@ -172,6 +172,10 @@ def bench_queries(sf_dir: str):
         "customer_order_profile": lambda: Q.q_customer_order_profile(sf_dir),
         "training_shuffle": lambda: Q.q_training_shuffle(sf_dir),
         "dup_pagerank": lambda: Q.q_dup_pagerank(sf_dir),
+        # round-5 additions
+        "user_day_coverage": lambda: Q.q_user_day_coverage(sf_dir),
+        "event_countmin": lambda: Q.q_event_countmin(sf_dir),
+        "simplify_lines": lambda: Q.q_simplify_lines(sf_dir),
     }
 
 

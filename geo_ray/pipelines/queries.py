@@ -1373,7 +1373,7 @@ def q_minhash_pairs(sf_dir: str):
     # at sf scale dominates the signing compute (see agg.coalesce_for_shuffle).
     from geo_ray.stages.agg import hash_bucket_apply
 
-    pairs = hash_bucket_apply(ds, "bucket", dedup_st.coarse_bucket_pairs)
+    pairs = hash_bucket_apply(ds, "bucket", dedup_st.coarse_bucket_pairs, batch_format="pyarrow")
 
     def pack(b: pa.Table) -> pa.Table:
         keys = dedup_st.pack_pair_keys(b["doc_a"].to_numpy(), b["doc_b"].to_numpy())
@@ -1535,7 +1535,7 @@ def q_minhash_pairs_joined(sf_dir: str):
         return b.append_column("bucket", pa.array(bucket.astype(np.int64)))
 
     bands = bands.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-    cand = hash_bucket_apply(bands, "bucket", dedup_st.band_candidates)
+    cand = hash_bucket_apply(bands, "bucket", dedup_st.band_candidates, batch_format="pyarrow")
 
     def pack(b: pa.Table) -> pa.Table:
         keys = dedup_st.pack_pair_keys(b["doc_a"].to_numpy(), b["doc_b"].to_numpy())
@@ -1798,7 +1798,7 @@ def ngram_banded_pairs(docs):
         return b.append_column("bucket", pa.array(bucket.astype(np.int64)))
 
     bands = bands.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
-    cand = hash_bucket_apply(bands, "bucket", dedup_st.band_candidates)
+    cand = hash_bucket_apply(bands, "bucket", dedup_st.band_candidates, batch_format="pyarrow")
 
     def pack(b: pa.Table) -> pa.Table:
         keys = dedup_st.pack_pair_keys(b["doc_a"].to_numpy(), b["doc_b"].to_numpy())

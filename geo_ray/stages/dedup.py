@@ -180,44 +180,83 @@ def _band_keys(sigs: np.ndarray, n: int) -> np.ndarray:
     return band_keys
 
 
-def coarse_bucket_pairs(group, threshold: float = 0.6):
-    """map_groups over COARSE buckets (band_key % NB): one call handles many
-    LSH buckets at once — sort by band_key, find runs with >=2 docs, emit
-    verified pairs per run. Per-group Python overhead is amortized over
-    thousands of buckets (Ray Data's map_groups calls the UDF once per group,
-    so the group key must be low-cardinality)."""
-    import pandas as pd
+def _run_pair_rows(starts: np.ndarray, lens: np.ndarray):
+    """(run starts, run lengths) -> row-index pairs (a, b) covering every
+    intra-run (i < j) pair, vectorized by run SIZE class: all runs of the
+    same length share one triu template, so the Python loop count is the
+    number of DISTINCT collision-group sizes (a handful), not the number of
+    groups or pairs."""
+    sel = lens >= 2
+    starts, lens = starts[sel], lens[sel]
+    out_a, out_b = [], []
+    for n in np.unique(lens):
+        st = starts[lens == n]
+        iu, ju = np.triu_indices(int(n), 1)
+        out_a.append((st[:, None] + iu[None, :]).ravel())
+        out_b.append((st[:, None] + ju[None, :]).ravel())
+    if not out_a:
+        z = np.array([], dtype=np.int64)
+        return z, z
+    return np.concatenate(out_a), np.concatenate(out_b)
 
-    empty = pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard": []})
-    bk = group["band_key"].to_numpy()
-    ids = group["doc_id"].to_numpy()
+
+def _binary_matrix(arr) -> np.ndarray:
+    """Decode a fixed-width binary column (binary_rows payloads) into its
+    (n, k) uint64 matrix with ONE buffer view — no per-row np.frombuffer."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    voffs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    seg = data[voffs[0] : voffs[-1]]
+    try:
+        return seg.view(np.uint64).reshape(n, -1)
+    except ValueError:  # unaligned slice — one copy, still no per-row work
+        return np.frombuffer(seg.tobytes(), dtype=np.uint64).reshape(n, -1)
+
+
+def coarse_bucket_pairs(group: pa.Table, threshold: float = 0.6) -> pa.Table:
+    """Bucketed stage fn over COARSE buckets (band_key % NB; Arrow blocks —
+    no pandas round trip): one call handles many LSH buckets at once — sort
+    by band_key, find runs with >=2 docs, emit verified pairs per run. The
+    signature column decodes once via buffer arithmetic and pair expansion
+    vectorizes by collision-group size (:func:`_run_pair_rows`)."""
+    from geo_ray.stages.agg import np_col
+
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "est_jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if group.num_rows == 0:
+        return empty
+    bk = np_col(group, "band_key")
+    ids = np_col(group, "doc_id")
+    mat = _binary_matrix(group["sig"])
     order = np.lexsort((ids, bk))
     bk, ids = bk[order], ids[order]
-    sig_rows = group["sig"].to_numpy()[order]
     # drop duplicate (band_key, doc) pairs, then runs of identical band_key
     keep = np.ones(bk.size, dtype=bool)
     keep[1:] = (bk[1:] != bk[:-1]) | (ids[1:] != ids[:-1])
-    bk, ids, sig_rows = bk[keep], ids[keep], sig_rows[keep]
+    rows = order[keep]
+    bk, ids = bk[keep], ids[keep]
     starts = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
     lens = np.diff(np.concatenate([starts, [bk.size]]))
-    multi = starts[lens >= 2]
-    if multi.size == 0:
+    ra, rb = _run_pair_rows(starts, lens)
+    if ra.size == 0:
         return empty
-    out_a, out_b, out_j = [], [], []
-    for s, ln in zip(multi, lens[lens >= 2]):
-        g_ids = ids[s : s + ln]
-        sigs = np.stack([np.frombuffer(x, dtype=np.uint64) for x in sig_rows[s : s + ln]])
-        iu, ju = np.triu_indices(g_ids.size, 1)
-        est = (sigs[iu] == sigs[ju]).mean(axis=1)
-        m = est >= threshold
-        out_a.append(g_ids[iu[m]])
-        out_b.append(g_ids[ju[m]])
-        out_j.append(fixed_k.round_half_away(est[m], 3))
-    a = np.concatenate(out_a)
-    if a.size == 0:
-        return empty
-    return pd.DataFrame(
-        {"doc_a": a, "doc_b": np.concatenate(out_b), "est_jaccard": np.concatenate(out_j)}
+    est = (mat[rows[ra]] == mat[rows[rb]]).mean(axis=1)
+    m = est >= threshold
+    return pa.table(
+        {
+            "doc_a": pa.array(ids[ra[m]]),
+            "doc_b": pa.array(ids[rb[m]]),
+            "est_jaccard": pa.array(fixed_k.round_half_away(est[m], 3)),
+        }
     )
 
 
@@ -270,13 +309,19 @@ def bands_from_signatures(batch: pa.Table) -> pa.Table:
     )
 
 
-def band_candidates(group):
-    """Per bucket: runs of identical band_key with >= 2 docs -> candidate
-    (doc_a < doc_b) pairs, NO verification yet (no signatures here)."""
-    import pandas as pd
+def band_candidates(group: pa.Table) -> pa.Table:
+    """Per bucket (Arrow blocks): runs of identical band_key with >= 2 docs
+    -> candidate (doc_a < doc_b) pairs, NO verification yet (no signatures
+    here); pair expansion vectorized by collision-group size."""
+    from geo_ray.stages.agg import np_col
 
-    bk = group["band_key"].to_numpy()
-    ids = group["doc_id"].to_numpy()
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    )
+    if group.num_rows == 0:
+        return empty
+    bk = np_col(group, "band_key")
+    ids = np_col(group, "doc_id")
     order = np.lexsort((ids, bk))
     bk, ids = bk[order], ids[order]
     keep = np.ones(bk.size, dtype=bool)
@@ -284,22 +329,10 @@ def band_candidates(group):
     bk, ids = bk[keep], ids[keep]
     starts = np.flatnonzero(np.concatenate([[True], bk[1:] != bk[:-1]]))
     lens = np.diff(np.concatenate([starts, [bk.size]]))
-    out_a, out_b = [], []
-    for s, ln in zip(starts[lens >= 2], lens[lens >= 2]):
-        g_ids = ids[s : s + ln]
-        iu, ju = np.triu_indices(g_ids.size, 1)
-        out_a.append(g_ids[iu])
-        out_b.append(g_ids[ju])
-    if not out_a:
-        return pd.DataFrame(
-            {"doc_a": np.array([], dtype=np.int64), "doc_b": np.array([], dtype=np.int64)}
-        )
-    return pd.DataFrame(
-        {
-            "doc_a": np.concatenate(out_a).astype(np.int64),
-            "doc_b": np.concatenate(out_b).astype(np.int64),
-        }
-    )
+    ra, rb = _run_pair_rows(starts, lens)
+    if ra.size == 0:
+        return empty
+    return pa.table({"doc_a": pa.array(ids[ra]), "doc_b": pa.array(ids[rb])})
 
 
 def explode_pair_slots(batch: pa.Table) -> pa.Table:
