@@ -3616,32 +3616,30 @@ def q_knn_graph(sf_dir: str, k: int = 3, n_chunks: int = 4):
     at a time emitting per-probe PARTIAL top-k rows, and a probe-keyed
     groupby merges shard winners under the shared
     (cos6 DESC, neighbor ASC) total order (selection under a total order is
-    associative, so partial-then-merge == global). Shard state loads on the
-    WORKERS from the persisted hash-sharded layout
-    (:func:`_knn_shard_layout`) via :func:`ann.knn_chunk_fn`'s per-process
-    cache — each load reads ONLY that shard's files, the driver never
-    touches the corpus, no task ever holds more than ~2 shards, and nothing
-    quadratic ships through the shuffle beyond k rows per (probe, shard)."""
+    associative, so partial-then-merge == global). Each shard loads ONCE
+    PER CLUSTER: a Ray task reads only that shard's files from the
+    persisted hash-sharded layout (:func:`_knn_shard_layout`), normalizes,
+    and leaves the matrix in the OBJECT STORE; every probe task maps it
+    zero-copy through :func:`ann.knn_probe_fn` — the driver never touches
+    the corpus, worker heap holds no shard copies, and nothing quadratic
+    ships through the shuffle beyond k rows per (probe, shard)."""
     import functools
+
+    import ray
 
     from geo_ray.stages import ann as ann_st
 
     from geo_ray.stages.agg import default_num_blocks, hash_bucket_apply
 
     shard_root = _knn_shard_layout(sf_dir, n_chunks)
+    load = ray.remote(num_returns=1)(ann_st.load_knn_shard)
+    shard_refs = [load.remote(c, n_chunks, shard_root, True) for c in range(n_chunks)]
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     parts = None
     for c in range(n_chunks):
         p = ds.map_batches(
-            functools.partial(
-                ann_st.knn_chunk_fn,
-                chunk_id=c,
-                n_chunks=n_chunks,
-                path=shard_root,
-                k=k,
-                sharded=True,
-            ),
+            functools.partial(ann_st.knn_probe_fn, shard_ref=shard_refs[c], k=k),
             batch_format="pyarrow",
         )
         parts = p if parts is None else parts.union(p)

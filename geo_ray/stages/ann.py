@@ -251,6 +251,32 @@ class IvfTopK:
         )
 
 
+def load_knn_shard(chunk_id: int, n_chunks: int, path: str, sharded: bool = True):
+    """Read one vec_id-hash shard, sort by vec_id, L2-normalize, and return
+    (vid, matT) with matT laid out (dim, shard) for the probe GEMM. Run it
+    as a Ray TASK so the read + normalize happens once per shard per
+    CLUSTER and the arrays land in the object store — every downstream
+    probe task then maps them zero-copy (plasma-resident, spillable), so
+    the full corpus is object-store-resident exactly once instead of being
+    re-read per worker or broadcast per task."""
+    import pyarrow.parquet as pq
+
+    if sharded:
+        t = pq.read_table(f"{path}/shard={chunk_id}", columns=["vec_id", "embedding"])
+        vid = t["vec_id"].to_numpy().astype(np.int64)
+        order = np.argsort(vid, kind="mergesort")
+    else:
+        t = pq.read_table(path, columns=["vec_id", "embedding"])
+        vid = t["vec_id"].to_numpy().astype(np.int64)
+        sel = np.flatnonzero(vid % np.int64(n_chunks) == np.int64(chunk_id))
+        order = sel[np.argsort(vid[sel], kind="mergesort")]
+    vid = vid[order]
+    m = _embeddings_to_matrix(t["embedding"])[order]
+    norms = np.sqrt((m * m).sum(axis=1))
+    norms[norms == 0] = 1.0
+    return vid, (m / norms[:, None]).T.copy()
+
+
 class KnnGraphChunk:
     """One corpus SHARD of the exact cosine kNN-graph self-join — the
     no-broadcast scale path: the corpus is split into ``n_chunks`` disjoint
@@ -268,101 +294,95 @@ class KnnGraphChunk:
 
     With ``sharded=True``, ``path`` is a hash-sharded hive layout
     (``<path>/shard=<c>/``, the ann_index_job partitioning) and the loader
-    reads ONLY its shard's files — no n_chunks× read amplification, and the
-    load happens on the worker (via :func:`knn_chunk_fn`'s per-worker
-    cache, never a driver-built instance). The flat ``path`` mode (full
-    read + hash filter) remains for local/stress use where no layout
-    exists.
+    reads ONLY its shard's files — no n_chunks× read amplification. The
+    scale form loads each shard ONCE PER CLUSTER as a Ray task
+    (:func:`load_knn_shard` → object store) and every GEMM task maps it
+    zero-copy (:func:`knn_probe_fn`); the flat ``path`` mode (full read +
+    hash filter) remains for local/stress use where no layout exists.
     """
 
     def __init__(
         self, chunk_id: int, n_chunks: int, path: str, k: int = 3, sharded: bool = False
     ):
-        import pyarrow.parquet as pq
-
-        if sharded:
-            t = pq.read_table(f"{path}/shard={chunk_id}", columns=["vec_id", "embedding"])
-            vid = t["vec_id"].to_numpy().astype(np.int64)
-            order = np.argsort(vid, kind="mergesort")
-        else:
-            t = pq.read_table(path, columns=["vec_id", "embedding"])
-            vid = t["vec_id"].to_numpy().astype(np.int64)
-            sel = np.flatnonzero(vid % np.int64(n_chunks) == np.int64(chunk_id))
-            order = sel[np.argsort(vid[sel], kind="mergesort")]
-        self.vid = vid[order]
-        m = _embeddings_to_matrix(t["embedding"])[order]
-        norms = np.sqrt((m * m).sum(axis=1))
-        norms[norms == 0] = 1.0
-        self.mat = (m / norms[:, None]).T.copy()  # (dim, shard) for the GEMM
+        self.vid, self.mat = load_knn_shard(chunk_id, n_chunks, path, sharded)
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "vec_id": pa.array([], pa.int64()),
-                "neighbor_id": pa.array([], pa.int64()),
-                "cos_sim": pa.array([], pa.float64()),
-            }
-        )
-        if batch.num_rows == 0 or self.vid.size == 0:
-            return empty
-        pv = batch["vec_id"].to_numpy().astype(np.int64)
-        v = _embeddings_to_matrix(batch["embedding"])
-        norms = np.sqrt((v * v).sum(axis=1))
-        norms[norms == 0] = 1.0
-        cos = (v / norms[:, None]) @ self.mat
-        cos[pv[:, None] == self.vid[None, :]] = -np.inf  # exclude self
-        kk = min(self.k, self.vid.size)
-        # top-k under (cos6 DESC, vec_id ASC) without rounding or sorting
-        # the full matrix: rounding to 6 dp is MONOTONE, so the k-th largest
-        # rounded value is round6(k-th largest raw); a one-quantum margin
-        # (1e-6) below the raw k-th catches every candidate whose rounded
-        # value can reach it (value ties can't drop the id-ordered winner).
-        # Only the ~k survivors per row are rounded and lexsorted — the
-        # GEMM, one partition and one compare are the only full-matrix
-        # passes.
-        kth = np.partition(cos, cos.shape[1] - kk, axis=1)[:, cos.shape[1] - kk]
-        rows, cols = np.nonzero(cos >= (kth - 1e-6)[:, None])
-        cval = fixed_k.round_half_away(cos[rows, cols], 6)
-        order = np.lexsort((cols, -cval, rows))  # cols sorted == vec_id sorted
-        rows, cols, cval = rows[order], cols[order], cval[order]
-        starts = np.flatnonzero(np.concatenate([[True], rows[1:] != rows[:-1]]))
-        rank = np.arange(rows.size, dtype=np.int64) - np.repeat(
-            starts, np.diff(np.concatenate([starts, [rows.size]]))
-        )
-        keep = (rank < kk) & np.isfinite(cval)
-        return pa.table(
-            {
-                "vec_id": pa.array(pv[rows[keep]]),
-                "neighbor_id": pa.array(self.vid[cols[keep]]),
-                "cos_sim": pa.array(cval[keep]),
-            }
-        )
+        return knn_score_block(batch, self.vid, self.mat, self.k)
 
 
-_KNN_SHARD_CACHE: dict = {}
+def knn_score_block(batch: pa.Table, vid: np.ndarray, mat: np.ndarray, k: int) -> pa.Table:
+    """GEMM one probe block against one shard matrix, emitting per-probe
+    partial top-k rows (the KnnGraphChunk kernel as a pure function so the
+    shard state can live anywhere — actor field or object-store view)."""
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            "neighbor_id": pa.array([], pa.int64()),
+            "cos_sim": pa.array([], pa.float64()),
+        }
+    )
+    if batch.num_rows == 0 or vid.size == 0:
+        return empty
+    pv = batch["vec_id"].to_numpy().astype(np.int64)
+    v = _embeddings_to_matrix(batch["embedding"])
+    norms = np.sqrt((v * v).sum(axis=1))
+    norms[norms == 0] = 1.0
+    cos = (v / norms[:, None]) @ mat
+    cos[pv[:, None] == vid[None, :]] = -np.inf  # exclude self
+    kk = min(k, vid.size)
+    # top-k under (cos6 DESC, vec_id ASC) without rounding or sorting
+    # the full matrix: rounding to 6 dp is MONOTONE, so the k-th largest
+    # rounded value is round6(k-th largest raw); a one-quantum margin
+    # (1e-6) below the raw k-th catches every candidate whose rounded
+    # value can reach it (value ties can't drop the id-ordered winner).
+    # Only the ~k survivors per row are rounded and lexsorted — the
+    # GEMM, one partition and one compare are the only full-matrix
+    # passes.
+    kth = np.partition(cos, cos.shape[1] - kk, axis=1)[:, cos.shape[1] - kk]
+    rows, cols = np.nonzero(cos >= (kth - 1e-6)[:, None])
+    cval = fixed_k.round_half_away(cos[rows, cols], 6)
+    order = np.lexsort((cols, -cval, rows))  # cols sorted == vec_id sorted
+    rows, cols, cval = rows[order], cols[order], cval[order]
+    starts = np.flatnonzero(np.concatenate([[True], rows[1:] != rows[:-1]]))
+    rank = np.arange(rows.size, dtype=np.int64) - np.repeat(
+        starts, np.diff(np.concatenate([starts, [rows.size]]))
+    )
+    keep = (rank < kk) & np.isfinite(cval)
+    return pa.table(
+        {
+            "vec_id": pa.array(pv[rows[keep]]),
+            "neighbor_id": pa.array(vid[cols[keep]]),
+            "cos_sim": pa.array(cval[keep]),
+        }
+    )
 
 
-def knn_chunk_fn(batch: pa.Table, *, chunk_id: int, n_chunks: int, path: str, k: int = 3,
-                 sharded: bool = True) -> pa.Table:
-    """Task-form wrapper around :class:`KnnGraphChunk` with a per-worker-
-    process shard cache: the first batch a worker sees for a given shard
-    loads that shard's files (on the worker — the driver never reads the
-    corpus) and every later batch reuses the matrix, since Ray reuses worker
-    processes across tasks. Task-based on purpose: one actor pool PER shard
-    reserves ``n_chunks`` CPUs at minimum and deadlocks any session (or
-    per-node share of a cluster) smaller than the shard count, whereas
-    tasks schedule within whatever is free. The cache holds at most two
-    shard matrices per worker (a worker interleaving shards evicts LRU), so
-    worker heap stays bounded by ~2 x shard_size regardless of n_chunks."""
-    key = (path, chunk_id, n_chunks, k, sharded)
-    st = _KNN_SHARD_CACHE.pop(key, None)
+_KNN_SHARD_VIEWS: dict = {}
+
+
+def knn_probe_fn(batch: pa.Table, *, shard_ref, k: int = 3) -> pa.Table:
+    """Probe-task form of the kNN shard GEMM: ``shard_ref`` is the object
+    ref of ONE :func:`load_knn_shard` result — the shard was read and
+    normalized exactly once per cluster by a Ray task, lives in the object
+    store, and ``ray.get`` here returns zero-copy numpy views onto the
+    plasma segment (cached per worker process; holding the views pins the
+    shared memory, not worker heap). Task-based on purpose: one actor pool
+    PER shard reserves ``n_chunks`` CPUs at minimum and deadlocks any
+    session (or per-node share of a cluster) smaller than the shard count,
+    whereas tasks schedule within whatever is free — and unlike a
+    load-per-worker cache, interleaved shard scheduling costs nothing
+    (measured: the 2-entry per-process LRU re-read shards ~12x per worker
+    at 8 shards / 32 workers, 199 s vs the 85-156 s band at 100k vectors)."""
+    import ray
+
+    key = shard_ref.hex() if hasattr(shard_ref, "hex") else id(shard_ref)
+    st = _KNN_SHARD_VIEWS.get(key)
     if st is None:
-        st = KnnGraphChunk(chunk_id, n_chunks, path, k, sharded)
-        while len(_KNN_SHARD_CACHE) >= 2:
-            _KNN_SHARD_CACHE.pop(next(iter(_KNN_SHARD_CACHE)))
-    _KNN_SHARD_CACHE[key] = st  # re-insert == move to MRU position
-    return st(batch)
+        st = ray.get(shard_ref)
+        _KNN_SHARD_VIEWS[key] = st
+    vid, mat = st
+    return knn_score_block(batch, vid, mat, k)
 
 
 def merge_knn_bucket(b, k: int = 3):

@@ -75,6 +75,7 @@ def shard_layout(path: str, n_chunks: int) -> str:
 def knn_graph_over(path: str, k: int, n_chunks: int, probe_blocks: int = 64):
     import functools
 
+    import ray
     import ray.data as rd
 
     from geo_ray.pipelines.queries import mix32_np
@@ -82,18 +83,13 @@ def knn_graph_over(path: str, k: int, n_chunks: int, probe_blocks: int = 64):
     from geo_ray.stages.agg import default_num_blocks, hash_bucket_apply
 
     shards = shard_layout(path, n_chunks)
+    load = ray.remote(ann_st.load_knn_shard)
+    refs = [load.remote(c, n_chunks, shards, True) for c in range(n_chunks)]
     ds = rd.read_parquet(path, columns=["vec_id", "embedding"]).repartition(probe_blocks)
     parts = None
     for c in range(n_chunks):
         p = ds.map_batches(
-            functools.partial(
-                ann_st.knn_chunk_fn,
-                chunk_id=c,
-                n_chunks=n_chunks,
-                path=shards,
-                k=k,
-                sharded=True,
-            ),
+            functools.partial(ann_st.knn_probe_fn, shard_ref=refs[c], k=k),
             batch_format="pyarrow",
         )
         parts = p if parts is None else parts.union(p)
