@@ -64,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_profile": Q.q_customer_order_profile,
         "user_day_coverage": Q.q_user_day_coverage,
         "event_countmin": Q.q_event_countmin,
+        "simplify_points": Q.q_simplify_points,
+        "geohash_cells": Q.q_geohash_cells,
         "training_shuffle": Q.q_training_shuffle,
         "dup_pagerank": Q.q_dup_pagerank,
         # newly SQL-oracled in round 4 (was rows-only since r1) — needs its
@@ -249,6 +251,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_profile": Q.SQL_CUSTOMER_ORDER_PROFILE,
         "user_day_coverage": Q.SQL_USER_DAY_COVERAGE,
         "event_countmin": Q.SQL_EVENT_COUNTMIN,
+        "simplify_points": Q.SQL_SIMPLIFY_POINTS,
+        "geohash_cells": Q.SQL_GEOHASH_CELLS,
         "training_shuffle": Q.SQL_TRAINING_SHUFFLE,
         "dup_pagerank": Q.SQL_DUP_PAGERANK,
         "contamination_flags": Q.SQL_CONTAMINATION_FLAGS,

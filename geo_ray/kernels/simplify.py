@@ -218,6 +218,21 @@ def simplify_pixels(x, y, pixel_precision: int = 1):
     return mask
 
 
+def simplify_degrees_batch_masks(lat2d, lng2d, max_distance: float) -> np.ndarray:
+    """Keep-MASKS of :func:`simplify_degrees` over many equal-length lines
+    (the boolean form of :func:`simplify_degrees_batch_counts` — same
+    frontier DP, same bit-exact parity contract)."""
+    lat2d = np.asarray(lat2d, dtype=np.float64)
+    lng2d = np.asarray(lng2d, dtype=np.float64)
+    n_lines, n_pts = lat2d.shape
+    mask = np.zeros((n_lines, n_pts), dtype=bool)
+    if n_pts:
+        mask[:, 0] = True
+        mask[:, -1] = True
+    _batch_dp(lat2d, lng2d, max_distance, mask=mask)
+    return mask
+
+
 def simplify_degrees_batch_counts(lat2d, lng2d, max_distance: float) -> np.ndarray:
     """Kept-vertex COUNTS of :func:`simplify_degrees` over MANY equal-length
     lines at once — the flat interval-frontier form of the DP (VERDICT r4
@@ -235,6 +250,17 @@ def simplify_degrees_batch_counts(lat2d, lng2d, max_distance: float) -> np.ndarr
     counts = np.full(n_lines, min(n_pts, 2), dtype=np.int64)
     if n_pts <= 2 or n_lines == 0:
         return counts
+    counts += _batch_dp(lat2d, lng2d, max_distance)
+    return counts
+
+
+def _batch_dp(lat2d, lng2d, max_distance: float, mask=None):
+    """Shared frontier loop: records splits either as per-line ADD counts
+    (returned int64 array) or as True bits in the caller's ``mask``."""
+    n_lines, n_pts = lat2d.shape
+    added = np.zeros(n_lines, dtype=np.int64)
+    if n_pts <= 2 or n_lines == 0:
+        return added
     thr = max_distance * max_distance
     eps = np.finfo(np.float64).eps
     cols = np.arange(n_pts, dtype=np.int64)
@@ -259,14 +285,16 @@ def simplify_degrees_batch_counts(lat2d, lng2d, max_distance: float) -> np.ndarr
         d[(cols[None, :] <= lo[:, None]) | (cols[None, :] >= hi[:, None])] = -np.inf
         far = np.argmax(d, axis=1)
         split = d[np.arange(li.size), far] >= thr
-        np.add.at(counts, li[split], 1)
         li2, lo2, hi2, far2 = li[split], lo[split], hi[split], far[split]
+        np.add.at(added, li2, 1)
+        if mask is not None:
+            mask[li2, far2] = True
         nli = np.concatenate([li2, li2])
         nlo = np.concatenate([lo2, far2])
         nhi = np.concatenate([far2, hi2])
         live = nhi - nlo > 1
         li, lo, hi = nli[live], nlo[live], nhi[live]
-    return counts
+    return added
 
 
 def simplify_degrees(lat, lng, max_distance: float):

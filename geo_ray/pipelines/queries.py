@@ -4856,7 +4856,7 @@ def _simplify_lines_sql() -> str:
   ) b""".replace("{eps}", repr(eps))
     thr = "CAST(0.0005 AS DOUBLE) * CAST(0.0005 AS DOUBLE)"
     points = POINTS_CTE.replace("WITH ", "WITH RECURSIVE ", 1)
-    return f"""{points}, base AS (
+    prefix = f"""{points}, base AS (
   SELECT doc_id AS d, lat AS lat0, lng AS lng0 FROM points WHERE pt_idx = 1
 ), walkpts AS (
   SELECT d, s.step AS i,
@@ -4876,14 +4876,97 @@ def _simplify_lines_sql() -> str:
     FROM splits sp, (SELECT unnest([0, 1]) AS k) u
   ) c, {best}
   WHERE c.hi - c.lo > 1 AND b.dd >= {thr}
-)
+)"""
+    return prefix
+
+
+SQL_SIMPLIFY_LINES = (
+    _simplify_lines_sql()
+    + """
 SELECT d.doc_id, CAST(24 AS BIGINT) AS n_in,
        CAST(2 + COALESCE(s.k, 0) AS BIGINT) AS n_out
 FROM (SELECT d AS doc_id FROM base) d
 LEFT JOIN (SELECT doc_id, COUNT(*) AS k FROM splits GROUP BY doc_id) s USING (doc_id)"""
+)
+
+def q_geohash_cells(sf_dir: str, precision: int = 7):
+    """Geohash cell id + base32 string per derived point — the interop cell
+    encoding (public Niemeyer geohash) alongside the engine's quadkey
+    tile_hash_32; pure vectorized bit interleave
+    (:mod:`geo_ray.kernels.geohash`), bit-exact SQL twin."""
+    from geo_ray.kernels import geohash as gh_k
+
+    def stage(b: pa.Table) -> pa.Table:
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        lng = b["lng"].to_numpy(zero_copy_only=False)
+        cell = gh_k.geohash_cell(lat, lng, precision)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "pt_idx": b["pt_idx"],
+                "cell": pa.array(cell),
+                "geohash": pa.array(gh_k.geohash_encode(lat, lng, precision)),
+            }
+        )
+
+    return points_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
 
 
-SQL_SIMPLIFY_LINES = _simplify_lines_sql()
+def _geohash_sql(precision: int = 7) -> str:
+    from geo_ray.kernels import geohash as gh_k
+
+    return f"""{POINTS_CTE}, gh AS (
+  SELECT doc_id, pt_idx, {gh_k.sql_geohash_cell('lat', 'lng', precision)} AS cell FROM points
+)
+SELECT doc_id, pt_idx, cell, {gh_k.sql_geohash_string('cell', precision)} AS geohash FROM gh"""
+
+
+SQL_GEOHASH_CELLS = _geohash_sql()
+
+
+def q_simplify_points(sf_dir: str):
+    """Simplified GEOMETRY output: the kept vertices (6-dp rounded) of each
+    walk after the same degree-space Douglas-Peucker as q_simplify_lines —
+    what a renderer/exporter actually consumes. Batched mask-form DP
+    (:func:`simplify.simplify_degrees_batch_masks`), one row per kept
+    vertex."""
+    from geo_ray.kernels import simplify as simp_k
+    from geo_ray.stages.tiling import derive_walks
+
+    def stage(b: pa.Table) -> pa.Table:
+        doc_id = b["doc_id"].to_numpy().astype(np.int64)
+        docs = doc_id[doc_id % 4 >= 1]
+        lat2d, lng2d = derive_walks(docs)
+        mask = simp_k.simplify_degrees_batch_masks(lat2d, lng2d, 0.0005)
+        li, pi = np.nonzero(mask)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs[li]),
+                "pt_idx": pa.array(pi.astype(np.int64)),
+                "lat6": pa.array(fixed_k.round_half_away(lat2d[li, pi], 6)),
+                "lng6": pa.array(fixed_k.round_half_away(lng2d[li, pi], 6)),
+            }
+        )
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return ds.repartition(agg_default_blocks()).map_batches(
+        stage, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# Same recursion, projected to the KEPT VERTICES themselves (endpoints +
+# accepted split points) — the simplified-geometry output a map renderer
+# consumes, not just its size.
+SQL_SIMPLIFY_POINTS = (
+    _simplify_lines_sql()
+    + """
+SELECT w.d AS doc_id, w.i AS pt_idx,
+       ROUND(w.lat, 6) AS lat6, ROUND(w.lng, 6) AS lng6
+FROM walkpts w
+WHERE w.i IN (0, 23)
+   OR EXISTS (SELECT 1 FROM splits s WHERE s.doc_id = w.d AND s.far = w.i)"""
+)
 
 
 def _simplify_masks_sql() -> str:

@@ -63,3 +63,21 @@ def test_neighbor_cells_ring():
     row, nx, ny = C.neighbor_cells(np.array([0]), np.array([0]), zoom=4, ring=1)
     assert row.size == 4
     assert (nx >= 0).all() and (ny >= 0).all()
+
+
+def test_geohash_known_values():
+    """Public geohash goldens: Wikipedia's (57.64911, 10.40744) -> u4pruyd
+    and the original 'ezs42' example; encode is pure bit interleave."""
+    import numpy as np
+
+    from geo_ray.kernels import geohash as gh
+
+    got = gh.geohash_encode(
+        np.array([57.64911, 42.6]), np.array([10.40744, -5.6]), 7
+    )
+    assert got[0] == "u4pruyd"
+    assert got[1][:5] == "ezs42"
+    # cell value round-trips through the string alphabet
+    cells = gh.geohash_cell(np.array([57.64911]), np.array([10.40744]), 7)
+    s = "".join(gh.ALPHABET[(int(cells[0]) >> (5 * (6 - c))) & 31] for c in range(7))
+    assert s == "u4pruyd"

@@ -176,3 +176,17 @@ def test_batch_counts_short_lines():
     assert S.simplify_degrees_batch_counts(
         np.zeros((0, 24)), np.zeros((0, 24)), 0.1
     ).tolist() == []
+
+
+def test_batch_masks_match_per_line_dp():
+    rng = np.random.default_rng(3)
+    lat = np.cumsum(rng.normal(0, 0.002, (32, 24)), axis=1)
+    lng = np.cumsum(rng.normal(0, 0.002, (32, 24)), axis=1)
+    lat[0] = 0.0
+    lng[0] = 0.0
+    for tol in (1e-9, 0.0005, 1.0):
+        got = S.simplify_degrees_batch_masks(lat, lng, tol)
+        for i in range(32):
+            slat, slng = S.simplify_degrees(lat[i], lng[i], tol)
+            assert lat[i][got[i]].tolist() == slat.tolist(), (i, tol)
+            assert lng[i][got[i]].tolist() == slng.tolist(), (i, tol)
