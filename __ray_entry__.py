@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_countmin": Q.q_event_countmin,
         "simplify_points": Q.q_simplify_points,
         "geohash_cells": Q.q_geohash_cells,
+        "cube_cells": Q.q_cube_cells,
         "training_shuffle": Q.q_training_shuffle,
         "dup_pagerank": Q.q_dup_pagerank,
         # newly SQL-oracled in round 4 (was rows-only since r1) — needs its
@@ -253,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "event_countmin": Q.SQL_EVENT_COUNTMIN,
         "simplify_points": Q.SQL_SIMPLIFY_POINTS,
         "geohash_cells": Q.SQL_GEOHASH_CELLS,
+        "cube_cells": Q.SQL_CUBE_CELLS,
         "training_shuffle": Q.SQL_TRAINING_SHUFFLE,
         "dup_pagerank": Q.SQL_DUP_PAGERANK,
         "contamination_flags": Q.SQL_CONTAMINATION_FLAGS,

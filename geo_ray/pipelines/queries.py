@@ -4889,6 +4889,69 @@ FROM (SELECT d AS doc_id FROM base) d
 LEFT JOIN (SELECT doc_id, COUNT(*) AS k FROM splits GROUP BY doc_id) s USING (doc_id)"""
 )
 
+def q_cube_cells(sf_dir: str, level: int = 12):
+    """S2-STYLE cube-face cell id per derived point (kernels/cubecell.py:
+    dominant-axis face + gnomonic (u, v) quadtree at level 12, Morton
+    face-local order — hierarchy preserved, Hilbert traversal deliberately
+    not claimed). Emits the level-12 cell and its level-5 ancestor, which
+    is literally ``cell >> 14`` — prefix == ancestor, the algebra every
+    co-partition key in this engine relies on."""
+    from geo_ray.kernels import cubecell as cc_k
+
+    def stage(b: pa.Table) -> pa.Table:
+        lat = b["lat"].to_numpy(zero_copy_only=False)
+        lng = b["lng"].to_numpy(zero_copy_only=False)
+        face, _, _ = cc_k.cube_face_uv(lat, lng)
+        cell = cc_k.cube_cell(lat, lng, level)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "pt_idx": b["pt_idx"],
+                "face": pa.array(face),
+                "cell": pa.array(cell),
+                "cell_l5": pa.array(cc_k.cube_cell_parent(cell, level, 5)),
+            }
+        )
+
+    return points_ds(sf_dir).map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _cube_cells_sql(level: int = 12) -> str:
+    n = float(1 << level)
+    return f"""{POINTS_CTE}, e AS (
+  SELECT doc_id, pt_idx,
+         0.5 * COS(RADIANS(lat)) * SIN(RADIANS(lng)) AS x,
+         0.5 * COS(RADIANS(lat)) * COS(RADIANS(lng)) AS y,
+         0.5 * SIN(RADIANS(lat)) AS z
+  FROM points
+), f AS (
+  SELECT doc_id, pt_idx, x, y, z,
+         (ABS(x) >= ABS(y) AND ABS(x) >= ABS(z)) AS is_x,
+         (NOT (ABS(x) >= ABS(y) AND ABS(x) >= ABS(z)) AND ABS(y) >= ABS(z)) AS is_y
+  FROM e
+), g AS (
+  SELECT doc_id, pt_idx,
+         CASE WHEN is_x THEN x WHEN is_y THEN y ELSE z END AS major,
+         CASE WHEN is_x THEN 0 WHEN is_y THEN 1 ELSE 2 END AS axis,
+         CASE WHEN is_x THEN y ELSE x END AS mu,
+         CASE WHEN is_x THEN z WHEN is_y THEN z ELSE y END AS mv
+  FROM f
+), q AS (
+  SELECT doc_id, pt_idx,
+         axis * 2 + CASE WHEN major < 0 THEN 1 ELSE 0 END AS face,
+         CAST(LEAST(GREATEST(FLOOR((mu / major + 1.0) / 2.0 * {n!r}), 0.0), {n - 1!r}) AS BIGINT) AS iu,
+         CAST(LEAST(GREATEST(FLOOR((mv / major + 1.0) / 2.0 * {n!r}), 0.0), {n - 1!r}) AS BIGINT) AS iv
+  FROM g
+)
+SELECT doc_id, pt_idx, CAST(face AS BIGINT) AS face,
+       face * {1 << (2 * level)} + {sql_morton('iu', 'iv', bits=level)} AS cell,
+       (face * {1 << (2 * level)} + {sql_morton('iu', 'iv', bits=level)}) >> {2 * (level - 5)} AS cell_l5
+FROM q"""
+
+
+SQL_CUBE_CELLS = _cube_cells_sql()
+
+
 def q_geohash_cells(sf_dir: str, precision: int = 7):
     """Geohash cell id + base32 string per derived point — the interop cell
     encoding (public Niemeyer geohash) alongside the engine's quadkey

@@ -81,3 +81,29 @@ def test_geohash_known_values():
     cells = gh.geohash_cell(np.array([57.64911]), np.array([10.40744]), 7)
     s = "".join(gh.ALPHABET[(int(cells[0]) >> (5 * (6 - c))) & 31] for c in range(7))
     assert s == "u4pruyd"
+
+
+def test_cube_cell_properties():
+    """Face selection, hierarchy algebra and locality of the S2-style id."""
+    import numpy as np
+
+    from geo_ray.kernels import cubecell as cc
+
+    # (0, 0): y is the dominant positive axis -> face 2, centered (u, v)
+    face, u, v = cc.cube_face_uv(np.array([0.0]), np.array([0.0]))
+    assert face[0] == 2 and abs(u[0]) < 1e-15 and abs(v[0]) < 1e-15
+    # poles land on the z faces
+    assert cc.cube_face_uv(np.array([89.9]), np.array([13.0]))[0][0] == 4
+    assert cc.cube_face_uv(np.array([-89.9]), np.array([13.0]))[0][0] == 5
+    rng = np.random.default_rng(5)
+    lat = rng.uniform(-85, 85, 500)
+    lng = rng.uniform(-180, 180, 500)
+    cell = cc.cube_cell(lat, lng, 12)
+    assert (cell >= 0).all() and (cell < 6 * 4**12).all()
+    # parent algebra: ancestor at level 5 == 2*(12-5)-bit right shift
+    assert (cc.cube_cell_parent(cell, 12, 5) == (cell >> 14)).all()
+    assert (cc.cube_cell_parent(cell, 12, 12) == cell).all()
+    # locality: nearby points share their coarse ancestor
+    c1 = cc.cube_cell(np.array([49.0]), np.array([8.0]), 12)
+    c2 = cc.cube_cell(np.array([49.0001]), np.array([8.0001]), 12)
+    assert cc.cube_cell_parent(c1, 12, 5)[0] == cc.cube_cell_parent(c2, 12, 5)[0]
