@@ -176,6 +176,9 @@ def bench_queries(sf_dir: str):
         "user_day_coverage": lambda: Q.q_user_day_coverage(sf_dir),
         "event_countmin": lambda: Q.q_event_countmin(sf_dir),
         "simplify_lines": lambda: Q.q_simplify_lines(sf_dir),
+        "simplify_points": lambda: Q.q_simplify_points(sf_dir),
+        "geohash_cells": lambda: Q.q_geohash_cells(sf_dir),
+        "cube_cells": lambda: Q.q_cube_cells(sf_dir),
     }
 
 
