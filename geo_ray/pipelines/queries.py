@@ -4889,6 +4889,168 @@ FROM (SELECT d AS doc_id FROM base) d
 LEFT JOIN (SELECT doc_id, COUNT(*) AS k FROM splits GROUP BY doc_id) s USING (doc_id)"""
 )
 
+def q_raster_boundary(sf_dir: str, z: int = 10):
+    """RASTER -> VECTOR: extract the occupancy BOUNDARY of the z10 tile
+    raster as vector boxes — an occupied tile is boundary iff any of its 4
+    neighbors is empty (out-of-grid counts as empty), emitted with its
+    exact mercator-meter envelope (pure linear math, no trig — bit-exact
+    twin). Completes the raster<->vector pair with `polygon_tile_cover`
+    (vector -> raster). Scale plan: per-batch partial tile counts →
+    hash-sum → ONE key co-partition where each occupied tile's row meets
+    the 4 neighbor PROBES aimed at it; probes that miss their target
+    become per-bucket (tile, open-side) partials, so the boundary test
+    never builds the dense raster and the shuffle carries only occupied
+    tiles x 5 rows."""
+    from ray.data.aggregate import Max, Sum
+
+    from geo_ray.kernels import tile as tile_k
+    from geo_ray.stages.agg import coalesce_for_shuffle, hash_bucket_apply, hash_sum, np_col
+
+    P = np.int64(100_000)  # y never reaches the packing modulus at z <= 16
+
+    def partial(b: pa.Table) -> pa.Table:
+        tx, ty = tile_k.latlng_tile(b["lat"].to_numpy(), b["lng"].to_numpy(), z)
+        u, c = np.unique(tx.astype(np.int64) * P + ty.astype(np.int64), return_counts=True)
+        return pa.table({"tid": pa.array(u), "n_partial": pa.array(c.astype(np.int64))})
+
+    occ = hash_sum(
+        points_ds(sf_dir).map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        "tid",
+        "n_partial",
+        out_value="n_points",
+    )
+    nb = agg_default_blocks()
+
+    def occ_side(b: pa.Table) -> pa.Table:
+        tid = np_col(b, "tid")
+        return pa.table(
+            {
+                "key": pa.array(tid),
+                "src": pa.array(tid),
+                "n_points": b["n_points"],
+                "kind": pa.array(np.zeros(tid.size, dtype=np.int64)),
+            }
+        )
+
+    def probe_side(b: pa.Table) -> pa.Table:
+        tid = np_col(b, "tid")
+        npts = np_col(b, "n_points")
+        keys, srcs, ns = [], [], []
+        for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            keys.append(tid + np.int64(dx) * P + np.int64(dy))
+            srcs.append(tid)
+            ns.append(npts)
+        cat = np.concatenate
+        return pa.table(
+            {
+                "key": pa.array(cat(keys)),
+                "src": pa.array(cat(srcs)),
+                "n_points": pa.array(cat(ns)),
+                "kind": pa.array(np.ones(tid.size * 4, dtype=np.int64)),
+            }
+        )
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        k = np_col(b, "key").view(np.uint64)
+        h = (k * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+        return b.append_column("bucket", pa.array((h % np.uint64(nb)).astype(np.int64)))
+
+    both = (
+        occ.map_batches(occ_side, batch_format="pyarrow")
+        .union(occ.map_batches(probe_side, batch_format="pyarrow"))
+        .map_batches(add_bucket, batch_format="pyarrow")
+    )
+
+    def miss_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "tid": pa.array([], pa.int64()),
+                "np_carry": pa.array([], pa.int64()),
+                "open_partial": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        kind = np_col(g, "kind")
+        key = np_col(g, "key")
+        occ_keys = key[kind == 0]
+        probes = np.flatnonzero(kind == 1)
+        miss = probes[~np.isin(key[probes], occ_keys)]
+        if miss.size == 0:
+            return empty
+        src = np_col(g, "src")[miss]
+        npts = np_col(g, "n_points")[miss]
+        order = np.argsort(src, kind="mergesort")
+        src, npts = src[order], npts[order]
+        u, starts = np.unique(src, return_index=True)
+        cnt = np.diff(np.concatenate([starts, [src.size]]))
+        return pa.table(
+            {
+                "tid": pa.array(u),
+                "np_carry": pa.array(npts[starts]),
+                "open_partial": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    miss = hash_bucket_apply(both, "bucket", miss_bucket, num_blocks=nb, batch_format="pyarrow")
+    agg = (
+        coalesce_for_shuffle(miss, 8)
+        .groupby("tid")
+        .aggregate(Max("np_carry", alias_name="n_points"), Sum("open_partial", alias_name="n_open_sides"))
+    )
+
+    res = float(merc_k.resolution(z, 4096))
+    shift = float(merc_k.MERC_ORIGIN_SHIFT)
+
+    def finish(b: pa.Table) -> pa.Table:
+        tid = np_col(b, "tid")
+        tx, ty = tid // P, tid % P
+        y_rev = np.int64((1 << z) - 1) - ty
+
+        def p2m(p):
+            return fixed_k.round_half_away(res * p.astype(np.float64) - shift, 3)
+
+        return pa.table(
+            {
+                "tile_x": pa.array(tx),
+                "tile_y": pa.array(ty),
+                "n_points": b["n_points"],
+                "n_open_sides": b["n_open_sides"],
+                "minx_m": pa.array(p2m(tx * 4096)),
+                "miny_m": pa.array(p2m(y_rev * 4096)),
+                "maxx_m": pa.array(p2m((tx + 1) * 4096)),
+                "maxy_m": pa.array(p2m((y_rev + 1) * 4096)),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _raster_boundary_sql(z: int = 10) -> str:
+    res = repr(float(merc_k.resolution(z, 4096)))
+    shift = repr(float(merc_k.MERC_ORIGIN_SHIFT))
+    ymax = (1 << z) - 1
+    return f"""{POINTS_CTE}, t AS (
+  SELECT {sql_pixel_x('lng', z, 4096)} // 4096 AS tx, {sql_pixel_y('lat', z, 4096)} // 4096 AS ty FROM points
+), occ AS (
+  SELECT tx, ty, COUNT(*) AS n_points FROM t GROUP BY tx, ty
+), open_cnt AS (
+  SELECT o.tx, o.ty, o.n_points,
+         (SELECT COUNT(*) FROM (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) d(dx, dy)
+          WHERE NOT EXISTS (SELECT 1 FROM occ o2 WHERE o2.tx = o.tx + d.dx AND o2.ty = o.ty + d.dy)) AS n_open_sides
+  FROM occ o
+)
+SELECT tx AS tile_x, ty AS tile_y, n_points, CAST(n_open_sides AS BIGINT) AS n_open_sides,
+       ROUND({res} * (tx * 4096) - {shift}, 3) AS minx_m,
+       ROUND({res} * (({ymax} - ty) * 4096) - {shift}, 3) AS miny_m,
+       ROUND({res} * ((tx + 1) * 4096) - {shift}, 3) AS maxx_m,
+       ROUND({res} * (({ymax} - ty + 1) * 4096) - {shift}, 3) AS maxy_m
+FROM open_cnt WHERE n_open_sides >= 1"""
+
+
+SQL_RASTER_BOUNDARY = _raster_boundary_sql()
+
+
 def q_cube_cells(sf_dir: str, level: int = 12):
     """S2-STYLE cube-face cell id per derived point (kernels/cubecell.py:
     dominant-axis face + gnomonic (u, v) quadtree at level 12, Morton

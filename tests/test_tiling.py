@@ -53,3 +53,33 @@ def test_salted_equals_unsalted(ray_session):
         .reset_index(drop=True)
     )
     assert a.equals(s[a.columns])
+
+
+def test_raster_boundary_matches_brute_force(ray_session):
+    """Distributed probe-miss boundary == numpy brute force over the
+    occupied-tile set (out-of-grid neighbors count as open)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geo_ray.kernels import tile as tile_k
+    from geo_ray.pipelines import queries as Q
+    from geo_ray.sources import derive
+
+    SF = "/root/testdata/sf0.001"
+    got = Q.q_raster_boundary(SF).to_pandas().sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+    doc_ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
+    _, _, lat, lng = derive.derive_points(doc_ids)
+    tx, ty = tile_k.latlng_tile(lat, lng, 10)
+    occ = {}
+    for x, y in zip(tx.tolist(), ty.tolist()):
+        occ[(x, y)] = occ.get((x, y), 0) + 1
+    want = []
+    for (x, y), n in occ.items():
+        open_sides = sum(
+            (x + dx, y + dy) not in occ for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1))
+        )
+        if open_sides:
+            want.append((x, y, n, open_sides))
+    want.sort()
+    assert [tuple(r) for r in got[["tile_x", "tile_y", "n_points", "n_open_sides"]].to_numpy()] == want
+    assert ((got["maxx_m"] > got["minx_m"]) & (got["maxy_m"] > got["miny_m"])).all()
