@@ -179,6 +179,7 @@ def bench_queries(sf_dir: str):
         "simplify_points": lambda: Q.q_simplify_points(sf_dir),
         "geohash_cells": lambda: Q.q_geohash_cells(sf_dir),
         "cube_cells": lambda: Q.q_cube_cells(sf_dir),
+        "raster_boundary": lambda: Q.q_raster_boundary(sf_dir),
     }
 
 
