@@ -380,6 +380,8 @@ def knn_probe_fn(batch: pa.Table, *, shard_ref, k: int = 3) -> pa.Table:
     st = _KNN_SHARD_VIEWS.get(key)
     if st is None:
         st = ray.get(shard_ref)
+        while len(_KNN_SHARD_VIEWS) >= 64:  # cached views PIN plasma objects;
+            _KNN_SHARD_VIEWS.pop(next(iter(_KNN_SHARD_VIEWS)))  # bound across corpora
         _KNN_SHARD_VIEWS[key] = st
     vid, mat = st
     return knn_score_block(batch, vid, mat, k)
