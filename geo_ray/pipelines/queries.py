@@ -106,12 +106,15 @@ def _rd():
     return rd
 
 
-def points_ds(sf_dir: str):
-    """documents -> derived point rows (doc_id, pt_idx, lat, lng)."""
+def points_ds(sf_dir: str, doc_filter=None):
+    """documents -> derived point rows (doc_id, pt_idx, lat, lng); an
+    optional pyarrow dataset predicate prunes at the parquet scan."""
     from geo_ray.stages import spans as spans_st
 
     rd = _rd()
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"], filter=doc_filter
+    )
     return ds.map_batches(spans_st.explode_points, batch_format="pyarrow", zero_copy_batch=True)
 
 
@@ -4888,6 +4891,43 @@ SELECT d.doc_id, CAST(24 AS BIGINT) AS n_in,
 FROM (SELECT d AS doc_id FROM base) d
 LEFT JOIN (SELECT doc_id, COUNT(*) AS k FROM splits GROUP BY doc_id) s USING (doc_id)"""
 )
+
+def q_tile_counts_incremental(sf_dir: str):
+    """INCREMENTAL raster maintenance: the z8 tile histogram of the full
+    corpus computed as base-snapshot partials (doc_id < 1000 — the
+    already-ingested prefix of an append-only corpus) MERGED with delta
+    partials (doc_id >= 1000) — tile counts are mergeable partial
+    aggregates, so a crawl refresh only aggregates the DELTA and sums it
+    into the persisted base histogram; the oracle is the from-scratch
+    histogram over everything, pinning merge == recompute. Both sides
+    prune at the read with a pushed-down doc_id predicate."""
+    import pyarrow.dataset as pads
+
+    from ray.data.aggregate import Sum
+
+    def stage(b: pa.Table) -> pa.Table:
+        from geo_ray.kernels import tile as tile_k
+
+        tx, ty = tile_k.latlng_tile(b["lat"].to_numpy(), b["lng"].to_numpy(), 8)
+        tid = tx * 100000 + ty
+        u, c = np.unique(tid, return_counts=True)
+        return pa.table({"tile_id": pa.array(u), "n_partial": pa.array(c.astype(np.int64))})
+
+    def counts_for(pred):
+        ds = points_ds(sf_dir, doc_filter=pred)
+        return ds.map_batches(stage, batch_format="pyarrow", zero_copy_batch=True)
+
+    base = counts_for(pads.field("doc_id") < 1000)
+    delta = counts_for(pads.field("doc_id") >= 1000)
+    return (
+        base.union(delta)
+        .groupby("tile_id")
+        .aggregate(Sum("n_partial", alias_name="n_points"))
+    )
+
+
+SQL_TILE_COUNTS_INCREMENTAL = SQL_TILE_COUNTS
+
 
 def q_raster_boundary(sf_dir: str, z: int = 10):
     """RASTER -> VECTOR: extract the occupancy BOUNDARY of the z10 tile
