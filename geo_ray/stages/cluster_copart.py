@@ -170,15 +170,15 @@ def _star_bucket(df, mode: str):
     This is the alternating large-star/small-star connected-components
     formulation (Kiveris et al., 'Connected Components in MapReduce and
     Beyond', 2014) — the classic distributed min-label contraction.
+    Arrow block fn (no pandas round trip in the per-round hot path).
     """
-    import pandas as pd
+    from geo_ray.stages.agg import np_col
 
-    u = df["u"].to_numpy()
-    v = df["v"].to_numpy()
-    if u.size == 0:
-        return pd.DataFrame(
-            {"u": np.array([], dtype=np.int64), "v": np.array([], dtype=np.int64)}
-        )
+    empty = pa.table({"u": pa.array([], pa.int64()), "v": pa.array([], pa.int64())})
+    if df.num_rows == 0:
+        return empty
+    u = np_col(df, "u")
+    v = np_col(df, "v")
     order = np.lexsort((v, u))
     u, v = u[order], v[order]
     keep = np.ones(u.size, dtype=bool)
@@ -199,9 +199,11 @@ def _star_bucket(df, mode: str):
         out_v = np.concatenate([mrep[sel], m])
     order = np.lexsort((out_v, out_u))
     out_u, out_v = out_u[order], out_v[order]
+    if out_u.size == 0:
+        return empty
     keep = np.ones(out_u.size, dtype=bool)
     keep[1:] = (out_u[1:] != out_u[:-1]) | (out_v[1:] != out_v[:-1])
-    return pd.DataFrame({"u": out_u[keep], "v": out_v[keep]})
+    return pa.table({"u": pa.array(out_u[keep]), "v": pa.array(out_v[keep])})
 
 
 def _edge_checksum(ds) -> tuple[int, int]:
@@ -262,9 +264,9 @@ def cc_minlabel(pairs_ds, max_rounds: int = 32):
         ls_in = edges.map_batches(both_orient, batch_format="pyarrow", zero_copy_batch=True)
         from geo_ray.stages.agg import hash_bucket_apply
 
-        ls = hash_bucket_apply(ls_in, "b", lambda g: _star_bucket(g, "large"))
+        ls = hash_bucket_apply(ls_in, "b", lambda g: _star_bucket(g, "large"), batch_format="pyarrow")
         ss_in = ls.map_batches(hi_bucket, batch_format="pyarrow", zero_copy_batch=True)
-        edges = hash_bucket_apply(ss_in, "b", lambda g: _star_bucket(g, "small")).materialize()
+        edges = hash_bucket_apply(ss_in, "b", lambda g: _star_bucket(g, "small"), batch_format="pyarrow").materialize()
         cur = _edge_checksum(edges)
         if cur == prev:
             return edges
