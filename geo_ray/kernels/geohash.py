@@ -75,3 +75,36 @@ def sql_geohash_string(cell_expr: str, precision: int = 7) -> str:
         for c in range(precision)
     ]
     return " || ".join(parts)
+
+
+_ALPHA_INV = np.full(128, -1, dtype=np.int64)
+for _i, _c in enumerate(ALPHABET):
+    _ALPHA_INV[ord(_c)] = _i
+
+
+def geohash_decode(hashes, precision: int = 7):
+    """Vectorized inverse: geohash strings -> (lat, lng) CELL CENTERS.
+
+    Bits deinterleave back to the (iu, iv) quantized coordinates; the
+    center is the midpoint of the cell's span, so
+    ``geohash_encode(*geohash_decode(h)) == h`` for every valid hash
+    (round-trip pinned by pytest)."""
+    arr = np.asarray(hashes, dtype=f"S{precision}")
+    chars = arr.view(np.uint8).reshape(-1, precision)
+    v = np.zeros(arr.size, dtype=np.int64)
+    for c in range(precision):
+        v = (v << np.int64(5)) | _ALPHA_INV[chars[:, c]]
+    nbits = 5 * precision
+    nlng = (nbits + 1) // 2
+    nlat = nbits // 2
+    iu = np.zeros(arr.size, dtype=np.int64)
+    iv = np.zeros(arr.size, dtype=np.int64)
+    for j in range(nbits):
+        bit = (v >> np.int64(nbits - 1 - j)) & 1
+        if j % 2 == 0:
+            iu |= bit << np.int64(nlng - 1 - j // 2)
+        else:
+            iv |= bit << np.int64(nlat - 1 - (j - 1) // 2)
+    lng = (iu.astype(np.float64) + 0.5) / float(1 << nlng) * 360.0 - 180.0
+    lat = (iv.astype(np.float64) + 0.5) / float(1 << nlat) * 180.0 - 90.0
+    return lat, lng

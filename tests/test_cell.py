@@ -107,3 +107,20 @@ def test_cube_cell_properties():
     c1 = cc.cube_cell(np.array([49.0]), np.array([8.0]), 12)
     c2 = cc.cube_cell(np.array([49.0001]), np.array([8.0001]), 12)
     assert cc.cube_cell_parent(c1, 12, 5)[0] == cc.cube_cell_parent(c2, 12, 5)[0]
+
+
+def test_geohash_roundtrip():
+    import numpy as np
+
+    from geo_ray.kernels import geohash as gh
+
+    rng = np.random.default_rng(9)
+    lat = rng.uniform(-85, 85, 2000)
+    lng = rng.uniform(-180, 180, 2000)
+    h = gh.geohash_encode(lat, lng, 7)
+    clat, clng = gh.geohash_decode(h, 7)
+    assert (gh.geohash_encode(clat, clng, 7) == h).all()
+    # centers sit inside the original cell: re-encode at finer precision
+    # may differ, but coarse prefix agrees
+    h5 = gh.geohash_encode(lat, lng, 5)
+    assert np.char.startswith(h.astype(str), h5.astype(str)).all()
