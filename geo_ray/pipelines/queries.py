@@ -4892,6 +4892,103 @@ FROM (SELECT d AS doc_id FROM base) d
 LEFT JOIN (SELECT doc_id, COUNT(*) AS k FROM splits GROUP BY doc_id) s USING (doc_id)"""
 )
 
+def q_point_pairs_within(sf_dir: str, radius_m: float = 5000.0):
+    """Point-point WITHIN-DISTANCE self-join (the canonical spatial join):
+    every pair of derived points with haversine <= radius_m, exactly once.
+
+    Scale plan: the safe-zoom cell co-partition with the BORDER-ONLY halo
+    (stages/cluster_copart.explode_halo — any pair within radius is
+    co-resident in at least the smaller-gid point's HOME cell, since the
+    partner sits within radius of the shared border and duplicates across
+    it). Per cell the pair set is exact float64 haversine over the deduped
+    residents, and each pair is COUNTED only where the smaller-gid member
+    is home — a pure function of the pair, so exactly-once needs no dedup
+    shuffle (the segjoin canonical-cell rule on points)."""
+    from geo_ray.stages import cluster_copart as cc
+    from geo_ray.stages.agg import hash_bucket_apply, np_col
+
+    zoom = cc.safe_zoom(radius_m)
+    span = np.int64(1 << zoom)
+
+    def add_gid(b: pa.Table) -> pa.Table:
+        gid = b["doc_id"].to_numpy().astype(np.int64) * 4 + b["pt_idx"].to_numpy().astype(np.int64)
+        return pa.table({"gid": pa.array(gid), "lat": b["lat"], "lng": b["lng"]})
+
+    halo = (
+        points_ds(sf_dir)
+        .map_batches(add_gid, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(
+            cc.explode_halo, fn_kwargs={"zoom": zoom, "max_dist": radius_m},
+            batch_format="pyarrow",
+        )
+    )
+
+    def home_cell(lat: np.ndarray, lng: np.ndarray) -> np.ndarray:
+        # exactly explode_halo's (0, 0) cell id
+        mx, my = merc_k.latlng_to_merc(lat, lng)
+        res = float(merc_k.resolution(np.asarray(zoom), 1))
+        msize = float(merc_k.map_size(np.asarray(zoom), 1))
+        cx = np.trunc((mx + merc_k.MERC_ORIGIN_SHIFT) / res).astype(np.int64)
+        cy = merc_k._round_half_away(msize - (my + merc_k.MERC_ORIGIN_SHIFT) / res).astype(np.int64)
+        return (cx % span) * span + np.clip(cy, 0, span - 1)
+
+    def pairs_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "gid_a": pa.array([], pa.int64()),
+                "gid_b": pa.array([], pa.int64()),
+                "dist_m": pa.array([], pa.float64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        cell = np_col(g, "cell")
+        gid = np_col(g, "gid")
+        lat = g["lat"].to_numpy(zero_copy_only=False)
+        lng = g["lng"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((gid, cell))
+        cell, gid, lat, lng = cell[order], gid[order], lat[order], lng[order]
+        keep = np.ones(gid.size, dtype=bool)  # a gid appears once per cell
+        keep[1:] = (cell[1:] != cell[:-1]) | (gid[1:] != gid[:-1])
+        cell, gid, lat, lng = cell[keep], gid[keep], lat[keep], lng[keep]
+        hc = home_cell(lat, lng)
+        starts = np.flatnonzero(np.concatenate([[True], cell[1:] != cell[:-1]]))
+        lens = np.diff(np.concatenate([starts, [cell.size]]))
+        out_a, out_b, out_d = [], [], []
+        for n in np.unique(lens[lens >= 2]):
+            st = starts[lens == n]
+            iu, ju = np.triu_indices(int(n), 1)
+            ri = (st[:, None] + iu[None, :]).ravel()
+            rj = (st[:, None] + ju[None, :]).ravel()
+            d = dist_k.haversine(lat[ri], lng[ri], lat[rj], lng[rj])
+            # gid sorts within the cell, so ri is the smaller-gid member;
+            # count the pair only in that member's home cell
+            m = (d <= radius_m) & (hc[ri] == cell[ri])
+            out_a.append(gid[ri[m]])
+            out_b.append(gid[rj[m]])
+            out_d.append(fixed_k.round_half_away(d[m], 3))
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "gid_a": pa.array(np.concatenate(out_a)),
+                "gid_b": pa.array(np.concatenate(out_b)),
+                "dist_m": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    return hash_bucket_apply(halo, "bucket", pairs_bucket, batch_format="pyarrow")
+
+
+SQL_POINT_PAIRS_WITHIN = f"""{POINTS_CTE}, g AS (
+  SELECT doc_id * 4 + pt_idx AS gid, lat, lng FROM points
+)
+SELECT a.gid AS gid_a, b.gid AS gid_b,
+       ROUND({sql_haversine('a.lat', 'a.lng', 'b.lat', 'b.lng')}, 3) AS dist_m
+FROM g a JOIN g b ON a.gid < b.gid
+WHERE {sql_haversine('a.lat', 'a.lng', 'b.lat', 'b.lng')} <= 5000.0"""
+
+
 def q_tile_counts_incremental(sf_dir: str):
     """INCREMENTAL raster maintenance: the z8 tile histogram of the full
     corpus computed as base-snapshot partials (doc_id < 1000 — the

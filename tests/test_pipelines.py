@@ -252,3 +252,37 @@ def test_span_invariant_check_rejects_tampering(ray_session):
         raise SystemExit("should have raised")
     except AssertionError:
         pass
+
+
+def test_point_pairs_within_matches_brute_force(ray_session):
+    """Cell-halo within-distance self-join == O(n^2) haversine scan,
+    exactly once per pair (the home-cell canonical rule)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geo_ray.kernels import distance as dist_k
+    from geo_ray.kernels import fixed as fixed_k
+    from geo_ray.pipelines import queries as Q
+    from geo_ray.sources import derive
+
+    SF = "/root/testdata/sf0.001"
+    R = 5000.0
+    got = (
+        Q.q_point_pairs_within(SF, R)
+        .to_pandas()
+        .sort_values(["gid_a", "gid_b"])
+        .reset_index(drop=True)
+    )
+    doc_ids = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id"])["doc_id"].to_numpy()
+    d, i, lat, lng = derive.derive_points(doc_ids)
+    gid = d * 4 + i
+    order = np.argsort(gid)
+    gid, lat, lng = gid[order], lat[order], lng[order]
+    iu, ju = np.triu_indices(gid.size, 1)
+    dist = dist_k.haversine(lat[iu], lng[iu], lat[ju], lng[ju])
+    m = dist <= R
+    want = sorted(zip(gid[iu[m]], gid[ju[m]], fixed_k.round_half_away(dist[m], 3)))
+    assert [tuple(r) for r in got.to_numpy()] == [
+        (int(a), int(b), float(x)) for a, b, x in want
+    ]
+    assert len(want) > 0  # the fixture corpus must actually exercise pairs
