@@ -180,6 +180,8 @@ def bench_queries(sf_dir: str):
         "geohash_cells": lambda: Q.q_geohash_cells(sf_dir),
         "cube_cells": lambda: Q.q_cube_cells(sf_dir),
         "raster_boundary": lambda: Q.q_raster_boundary(sf_dir),
+        "tile_counts_incremental": lambda: Q.q_tile_counts_incremental(sf_dir),
+        "point_pairs_within": lambda: Q.q_point_pairs_within(sf_dir),
     }
 
 
